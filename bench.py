@@ -1,0 +1,117 @@
+"""Benchmark: fused monotonic RNN-T fwd-bwd+grad on one TPU chip.
+
+Shape: B=32, T=200, S=50, V=1000 (BASELINE.json benchmark lattice).
+
+Measurement method: the driver's TPU is reached through an async tunnel whose
+dispatch/caching behavior makes naive per-call wall timing meaningless, so we
+time K dependent iterations *inside one jit* — each iteration perturbs the
+logits with the previous iteration's outputs (costs + one grad element), so
+no iteration can be cached, hoisted, or overlapped away — and divide the
+single-call wall time by K. The HBM roofline is calibrated the same way with
+a pure streaming copy chain (1 read + 1 write per iteration) on a tensor of
+identical size.
+
+Reported metric: lattice cells per second per chip (cells = B*T*(S+1)).
+vs_baseline: achieved fraction of the memory-bound roofline divided by the
+0.80 target fraction (BASELINE.json north star) — >= 1.0 means the target is
+met. The fused pipeline's algorithmic minimum traffic is 2 reads + 1 write of
+the [B,T,S+1,V] tensor (see ops/pallas/fused.py).
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    sys.path.insert(0, "/root/repo")
+    from monotonic_rnnt_tpu.ops.pallas.fused import rnnt_loss_pallas
+    from monotonic_rnnt_tpu.ops.reference import rnnt_loss_reference
+
+    B, T, S, V = 32, 200, 50, 1000
+    S1 = S + 1
+    K = 30
+    nbytes = B * T * S1 * V * 4
+    on_tpu = jax.default_backend() != "cpu"
+
+    rng = np.random.RandomState(0)
+    logits = jax.device_put(rng.randn(B, T, S1, V).astype(np.float32))
+    labels = jax.device_put(rng.randint(1, V, size=(B, S)).astype(np.int32))
+    ilen = jnp.full((B,), T, jnp.int32)
+    slen = jnp.full((B,), S, jnp.int32)
+
+    backend = "pallas" if on_tpu else "reference"
+
+    def loss_body(i, carry):
+        x, acc = carry
+        x = x.at[:, 0, 0, 0].add(acc * 1e-20)
+        c, g = rnnt_loss_pallas(x, labels, ilen, slen) if on_tpu else \
+            rnnt_loss_reference(x, labels, ilen, slen)
+        return (x, c[0] + g[0, 0, 0, 0])
+
+    loss_loop = jax.jit(
+        lambda x: jax.lax.fori_loop(0, K, loss_body, (x, jnp.float32(0)))[1])
+
+    def copy_body(i, y):
+        return y * 1.0000001 + 1e-9
+
+    copy_loop = jax.jit(
+        lambda x: jax.lax.fori_loop(0, K, copy_body, x))
+
+    def timed(fn, arg, reduce_out):
+        out = fn(arg)
+        _ = np.asarray(reduce_out(out))  # warmup + force completion
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            out = fn(arg)
+            _ = np.asarray(reduce_out(out))
+            best = min(best, (time.perf_counter() - t0) / K)
+        return best
+
+    t_loss = timed(loss_loop, logits, lambda r: r)
+    t_copy = timed(copy_loop, logits, lambda r: r[0, 0, 0, :2])
+
+    hbm_bw = 2 * nbytes / t_copy                      # measured stream rate
+    sol_time = 3 * nbytes / hbm_bw                    # 2 reads + 1 write
+    roofline_frac = sol_time / t_loss
+    cells_per_s = B * T * S1 / t_loss
+
+    # Correctness spot check against the oracle (allclose per BASELINE).
+    small = tuple(jax.device_put(a) for a in (
+        rng.randn(4, 24, 7, 64).astype(np.float32) * 2,
+        rng.randint(1, 64, size=(4, 6)).astype(np.int32),
+        np.array([24, 17, 9, 24], np.int32),
+        np.array([6, 5, 0, 6], np.int32)))
+    f_test = jax.jit(lambda *a: (rnnt_loss_pallas(*a) if on_tpu
+                                 else rnnt_loss_reference(*a)))
+    f_ref = jax.jit(lambda *a: rnnt_loss_reference(*a))
+    c1, g1 = f_test(*small)
+    c2, g2 = f_ref(*small)
+    max_cost_err = float(jnp.max(jnp.abs(c1 - c2)))
+    max_grad_err = float(jnp.max(jnp.abs(g1 - g2)))
+
+    print(json.dumps({
+        "metric": "fused fwd-bwd+grad lattice cells/s/chip "
+                  "(B=32,T=200,S=50,V=1000, fp32)",
+        "value": round(cells_per_s / 1e6, 2),
+        "unit": "Mcells/s",
+        "vs_baseline": round(roofline_frac / 0.80, 3),
+        "detail": {
+            "iter_ms": round(t_loss * 1e3, 3),
+            "measured_hbm_GBps": round(hbm_bw / 1e9, 1),
+            "roofline_fraction": round(roofline_frac, 3),
+            "max_cost_err_vs_oracle": max_cost_err,
+            "max_grad_err_vs_oracle": max_grad_err,
+            "backend": backend,
+            "device": str(jax.devices()[0]),
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

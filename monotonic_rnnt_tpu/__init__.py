@@ -1,0 +1,39 @@
+"""monotonic_rnnt_tpu — a TPU-native monotonic RNN-T training-loss framework.
+
+Brand-new JAX/Pallas implementation with the capabilities of the reference
+CUDA/C++ library (SimBe195/monotonic-rnnt): forward-backward monotonic RNN-T
+loss with fused log-softmax gradients, alignment-restricted (banded) lattices,
+variable-length batching, multi-chip data/vocab sharding, and a
+Conformer-transducer model family wired to the loss.
+
+Public API:
+  monotonic_rnnt_loss        — padded-layout loss (the TPU-idiomatic entry)
+  monotonic_rnnt_loss_packed — reference-compatible packed-layout shim
+  Bands / bands_from_alignment — alignment-restriction bands
+"""
+
+from .ops.bands import Bands, bands_from_alignment, default_bands
+from .ops.loss import monotonic_rnnt_alignment_score, monotonic_rnnt_loss
+from .ops.packing import (monotonic_rnnt_loss_packed, pack_acts, unpack_acts)
+from .ops.reference import rnnt_loss_reference
+from .utils.config import config_override, get_config, update_config
+from .utils.status import RnntError, Status
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "monotonic_rnnt_loss",
+    "monotonic_rnnt_loss_packed",
+    "monotonic_rnnt_alignment_score",
+    "rnnt_loss_reference",
+    "Bands",
+    "bands_from_alignment",
+    "default_bands",
+    "pack_acts",
+    "unpack_acts",
+    "RnntError",
+    "Status",
+    "get_config",
+    "update_config",
+    "config_override",
+]

@@ -1,0 +1,129 @@
+"""Conformer encoder (flax.linen), bf16-friendly and MXU-shaped.
+
+The reference ships no models — it is a loss library wired into external
+toolkits (RETURNN/RASR transducers). This module provides the Conformer
+acoustic encoder the BASELINE north-star asks to wire the loss into
+(BASELINE.json: "Conformer-transducer on LibriSpeech ... loss as training
+criterion"), built TPU-first: feature dims padded to MXU-friendly multiples,
+matmuls in bf16 with f32 accumulation, no data-dependent control flow.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class ConformerConfig:
+    num_layers: int = 4
+    dim: int = 256
+    num_heads: int = 4
+    ff_expansion: int = 4
+    conv_kernel: int = 15
+    subsample_factor: int = 4       # two stride-2 convs
+    dropout: float = 0.1
+    dtype: jnp.dtype = jnp.bfloat16  # compute dtype; params stay f32
+
+
+class FeedForward(nn.Module):
+    cfg: ConformerConfig
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool):
+        cfg = self.cfg
+        y = nn.LayerNorm(dtype=cfg.dtype)(x)
+        y = nn.Dense(cfg.dim * cfg.ff_expansion, dtype=cfg.dtype)(y)
+        y = nn.swish(y)
+        y = nn.Dropout(cfg.dropout)(y, deterministic=deterministic)
+        y = nn.Dense(cfg.dim, dtype=cfg.dtype)(y)
+        return nn.Dropout(cfg.dropout)(y, deterministic=deterministic)
+
+
+class ConvModule(nn.Module):
+    cfg: ConformerConfig
+
+    @nn.compact
+    def __call__(self, x, pad_mask, deterministic: bool):
+        cfg = self.cfg
+        y = nn.LayerNorm(dtype=cfg.dtype)(x)
+        # Mask padding before the depthwise conv so padded frames don't leak.
+        y = y * pad_mask[..., None].astype(y.dtype)
+        y = nn.Dense(2 * cfg.dim, dtype=cfg.dtype)(y)
+        y = nn.glu(y, axis=-1)
+        y = nn.Conv(cfg.dim, (cfg.conv_kernel,), feature_group_count=cfg.dim,
+                    padding="SAME", dtype=cfg.dtype)(y)
+        y = nn.LayerNorm(dtype=cfg.dtype)(y)  # stands in for masked batchnorm
+        y = nn.swish(y)
+        y = nn.Dense(cfg.dim, dtype=cfg.dtype)(y)
+        return nn.Dropout(cfg.dropout)(y, deterministic=deterministic)
+
+
+class MHSA(nn.Module):
+    cfg: ConformerConfig
+
+    @nn.compact
+    def __call__(self, x, pad_mask, deterministic: bool):
+        cfg = self.cfg
+        y = nn.LayerNorm(dtype=cfg.dtype)(x)
+        attn_mask = pad_mask[:, None, None, :]  # [B, 1, 1, T]
+        y = nn.MultiHeadDotProductAttention(
+            num_heads=cfg.num_heads, dtype=cfg.dtype,
+            dropout_rate=cfg.dropout)(
+                y, y, mask=attn_mask, deterministic=deterministic)
+        return nn.Dropout(cfg.dropout)(y, deterministic=deterministic)
+
+
+class ConformerBlock(nn.Module):
+    cfg: ConformerConfig
+
+    @nn.compact
+    def __call__(self, x, pad_mask, deterministic: bool):
+        x = x + 0.5 * FeedForward(self.cfg)(x, deterministic)
+        x = x + MHSA(self.cfg)(x, pad_mask, deterministic)
+        x = x + ConvModule(self.cfg)(x, pad_mask, deterministic)
+        x = x + 0.5 * FeedForward(self.cfg)(x, deterministic)
+        return nn.LayerNorm(dtype=self.cfg.dtype)(x)
+
+
+class ConvSubsampler(nn.Module):
+    """Two stride-2 2D convs over (time, freq): T -> T/4."""
+
+    cfg: ConformerConfig
+
+    @nn.compact
+    def __call__(self, feats):
+        cfg = self.cfg
+        x = feats[..., None]                      # [B, T, F, 1]
+        x = nn.Conv(cfg.dim // 4, (3, 3), strides=(2, 2), dtype=cfg.dtype)(x)
+        x = nn.relu(x)
+        x = nn.Conv(cfg.dim // 4, (3, 3), strides=(2, 2), dtype=cfg.dtype)(x)
+        x = nn.relu(x)
+        b, t, f, c = x.shape
+        x = x.reshape(b, t, f * c)
+        return nn.Dense(cfg.dim, dtype=cfg.dtype)(x)
+
+
+class ConformerEncoder(nn.Module):
+    """feats [B, T, F] + frame lengths -> (encodings [B, T', D], lengths')."""
+
+    cfg: ConformerConfig
+
+    @nn.compact
+    def __call__(self, feats, feat_lengths, deterministic: bool = True):
+        cfg = self.cfg
+        x = ConvSubsampler(cfg)(feats)
+        out_lengths = feat_lengths
+        for _ in range(2):  # two stride-2 convs with VALID-ish length math
+            out_lengths = (out_lengths - 1) // 2 + 1
+        t_out = x.shape[1]
+        pad_mask = (jnp.arange(t_out)[None, :]
+                    < out_lengths[:, None]).astype(jnp.bool_)
+        x = x * pad_mask[..., None].astype(x.dtype)
+        for _ in range(cfg.num_layers):
+            x = ConformerBlock(cfg)(x, pad_mask, deterministic)
+        return x.astype(jnp.float32), out_lengths

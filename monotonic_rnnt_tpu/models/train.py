@@ -1,0 +1,102 @@
+"""Training loop pieces: sharded train step, optimizer, checkpointing.
+
+Checkpoint/resume is a capability the reference lacks entirely (SURVEY.md §5:
+"none (stateless library)"); here it is first-class via orbax. The train step
+is a single pjit-compatible function: data-parallel over the 'data' mesh axis
+with parameters replicated; XLA inserts the gradient psum over ICI.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax.training import train_state
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..parallel.mesh import DATA_AXIS
+from .transducer import MonotonicTransducer, TransducerConfig
+
+
+class TrainState(train_state.TrainState):
+    dropout_rng: jax.Array = None
+
+
+def create_train_state(cfg: TransducerConfig, rng: jax.Array,
+                       example_batch, learning_rate: float = 1e-3,
+                       weight_decay: float = 1e-6,
+                       warmup_steps: int = 1000) -> TrainState:
+    model = MonotonicTransducer(cfg)
+    feats, feat_lengths, labels, label_lengths = example_batch
+    params_rng, dropout_rng = jax.random.split(rng)
+    variables = model.init({"params": params_rng, "dropout": dropout_rng},
+                           feats, feat_lengths, labels, label_lengths)
+    schedule = optax.warmup_cosine_decay_schedule(
+        0.0, learning_rate, warmup_steps, max(warmup_steps * 10, 10_000))
+    tx = optax.chain(
+        optax.clip_by_global_norm(5.0),
+        optax.adamw(schedule, weight_decay=weight_decay),
+    )
+    return TrainState.create(apply_fn=model.apply, params=variables["params"],
+                             tx=tx, dropout_rng=dropout_rng)
+
+
+def train_step(state: TrainState, batch) -> Tuple[TrainState, dict]:
+    """One SPMD training step. batch = (feats, feat_lens, labels, label_lens)."""
+    feats, feat_lengths, labels, label_lengths = batch
+    step_rng = jax.random.fold_in(state.dropout_rng, state.step)
+
+    def loss_fn(params):
+        costs = state.apply_fn({"params": params}, feats, feat_lengths,
+                               labels, label_lengths, deterministic=False,
+                               rngs={"dropout": step_rng})
+        return jnp.mean(costs)
+
+    loss, grads = jax.value_and_grad(loss_fn)(state.params)
+    new_state = state.apply_gradients(grads=grads)
+    metrics = {
+        "loss": loss,
+        "grad_norm": optax.global_norm(grads),
+        "step": state.step,
+    }
+    return new_state, metrics
+
+
+def make_sharded_train_step(mesh: Mesh):
+    """jit train_step with batch sharded over 'data', params replicated.
+
+    XLA turns the per-shard gradient contributions into an ICI all-reduce;
+    nothing in the model code mentions communication.
+    """
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P(DATA_AXIS))
+    return jax.jit(
+        train_step,
+        in_shardings=(repl, (data, data, data, data)),
+        out_shardings=(repl, repl),
+        donate_argnums=(0,),
+    )
+
+
+def save_checkpoint(path: str, state: TrainState) -> None:
+    import orbax.checkpoint as ocp
+    ckpt = ocp.StandardCheckpointer()
+    ckpt.save(path, jax.device_get(
+        {"params": state.params, "opt_state": state.opt_state,
+         "step": state.step}), force=True)
+    ckpt.wait_until_finished()
+
+
+def restore_checkpoint(path: str, state: TrainState) -> TrainState:
+    import orbax.checkpoint as ocp
+    ckpt = ocp.StandardCheckpointer()
+    target = {"params": state.params, "opt_state": state.opt_state,
+              "step": state.step}
+    restored = ckpt.restore(path, target)
+    return state.replace(params=restored["params"],
+                         opt_state=restored["opt_state"],
+                         step=restored["step"])

@@ -1,0 +1,56 @@
+"""Numeric helpers for monotonic RNN-T computations.
+
+TPU-native equivalent of the reference's numeric helper layer
+(reference: include/rnnt_helper.h:16-83): stable log-space arithmetic with
+explicit -inf semantics, expressed as vectorized JAX ops instead of scalar
+HOSTDEVICE functors.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+# Large-but-finite is NOT used: the reference's boundary semantics are exact
+# -inf (rnnt_helper.h:17-19), and exp(-inf) == 0 is relied upon by the
+# gradient formula. We keep true -inf and guard the NaN-producing paths.
+NEG_INF = -jnp.inf
+
+
+def log_sum_exp(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Elementwise stable log(exp(a) + exp(b)) with -inf short-circuits.
+
+    Matches reference include/rnnt_helper.h:22-30: max + log1p(exp(min-max)),
+    returning -inf when both inputs are -inf (instead of NaN).
+    """
+    mx = jnp.maximum(a, b)
+    mn = jnp.minimum(a, b)
+    both_neg_inf = mx == NEG_INF
+    # Where mx is -inf, (mn - mx) would be NaN; substitute a harmless value.
+    diff = jnp.where(both_neg_inf, 0.0, mn - mx)
+    out = mx + jnp.log1p(jnp.exp(diff))
+    return jnp.where(both_neg_inf, NEG_INF, out)
+
+
+def log_diff_exp(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Elementwise stable log(exp(a) - exp(b)); requires a >= b.
+
+    Reference parity: include/rnnt_helper.h:33-38.
+    """
+    eq = a == b
+    b_inf = b == NEG_INF
+    diff = jnp.where(a == NEG_INF, 0.0, b - a)
+    out = a + jnp.log1p(-jnp.exp(diff))
+    out = jnp.where(b_inf, a, out)
+    return jnp.where(eq, NEG_INF, out)
+
+
+def shift_right_s(x: jnp.ndarray, fill: float = NEG_INF) -> jnp.ndarray:
+    """Shift along the last (s) axis so out[..., s] = x[..., s-1]; out[..., 0] = fill."""
+    pad = jnp.full(x.shape[:-1] + (1,), fill, dtype=x.dtype)
+    return jnp.concatenate([pad, x[..., :-1]], axis=-1)
+
+
+def shift_left_s(x: jnp.ndarray, fill: float = NEG_INF) -> jnp.ndarray:
+    """Shift along the last (s) axis so out[..., s] = x[..., s+1]; out[..., -1] = fill."""
+    pad = jnp.full(x.shape[:-1] + (1,), fill, dtype=x.dtype)
+    return jnp.concatenate([x[..., 1:], pad], axis=-1)

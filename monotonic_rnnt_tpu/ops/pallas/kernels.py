@@ -1,0 +1,319 @@
+"""Pallas TPU kernels for the monotonic RNN-T loss.
+
+Three kernels implement the fused forward-backward + gradient pipeline. The
+design keeps HBM traffic at its algorithmic minimum of two reads + one write
+of the [B, T, S1, V] activation tensor (the reference CUDA pipeline does ~3
+reads + 1 write: two softmax reduction passes over acts, reduce.h:173-185,
+plus the gradient pass, gpu_rnnt_kernel.h:239-288):
+
+  1. `softmax_stats`  — one read of logits; per-cell log-softmax denominator
+     plus the blank/label log-probs the DP needs. Replaces the reference's
+     two-kernel reduce_max/reduce_exp pipeline (include/reduce.h) with a
+     single VMEM-resident reduction.
+  2. `alpha_scan` / `beta_scan` — the wavefront DP. The reference parallelizes
+     one CUDA thread per s with __syncthreads per t-step
+     (gpu_rnnt_kernel.h:121-161); here the whole [BT, S1] row-front is a VPU
+     vector op and the t-loop is a fori_loop with the carry in VMEM scratch,
+     chunked over T so only O(BT * TT * S1) lives on-chip. Callers pad B and
+     T so every block is full (see ops/pallas/fused.py).
+  3. `grad_kernel` — one read of logits + one write of grads; recomputes
+     p = exp(logit + denom) and combines the three per-cell occupancy
+     coefficients (see ops/reference.py) with vectorized blank/label masks
+     instead of the reference's per-cell thread-block gather
+     (gpu_rnnt_kernel.h:239-288).
+
+All DP math is float32 in log space with exact -inf boundary semantics.
+
+Mosaic tiling notes: blocks whose trailing dims are (TT, S1) require TT % 8
+== 0; the V axis is always kept whole so vocab reductions stay in-block; the
+tiny per-sample arrays (labels, lengths, virtual rows) ride along as
+singleton-blocked [B, 1, S1]-style operands.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..helpers import NEG_INF
+
+# ---------------------------------------------------------------------------
+# Tiling heuristics
+# ---------------------------------------------------------------------------
+
+_VMEM_BUDGET_BYTES = 8 * 1024 * 1024
+
+
+def round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def pick_time_tile(t_max: int, s1: int, v: int, n_bufs: int) -> int:
+    """Largest T-tile (multiple of 8) whose working set fits the VMEM budget."""
+    row_bytes = round_up(s1, 8) * round_up(v, 128) * 4
+    tile = max(8, (_VMEM_BUDGET_BYTES // max(1, n_bufs * row_bytes)) // 8 * 8)
+    return int(min(tile, round_up(t_max, 8), 64))
+
+
+def dp_tiles(batch: int, t_max: int, s1: int):
+    """(BT, B_pad, TT, T_pad) for the DP kernels.
+
+    B_pad is a multiple of BT and T_pad a multiple of TT so that every block
+    is full; BT is a multiple of 8 (Mosaic sublane constraint) unless the
+    whole batch is smaller than 8.
+    """
+    if batch < 8:
+        bt, b_pad = batch, batch
+    else:
+        bt = 8
+        row_bytes = round_up(s1, 128) * 4
+        # 4 [BT, TT, S1] buffers per program; keep BT modest — parallelism
+        # across programs matters more than per-program width.
+        while bt * 2 * min(t_max, 128) * row_bytes * 4 < _VMEM_BUDGET_BYTES \
+                and bt < 32:
+            bt *= 2
+        b_pad = round_up(batch, bt)
+    tt = min(round_up(t_max, 8), 128)
+    t_pad = round_up(t_max, tt)
+    return bt, b_pad, tt, t_pad
+
+
+# ---------------------------------------------------------------------------
+# Kernel 1: fused log-softmax statistics
+# ---------------------------------------------------------------------------
+
+
+def _stats_kernel(x_ref, lab_ref, denom_ref, lpb_ref, lpl_ref, *, blank_id):
+    x = x_ref[0].astype(jnp.float32)          # [TT, S1, V]
+    m = jnp.max(x, axis=-1, keepdims=True)
+    se = jnp.sum(jnp.exp(x - m), axis=-1, keepdims=True)
+    denom = -(m + jnp.log(se))                # [TT, S1, 1]
+    denom_ref[0] = denom[..., 0]
+    lpb_ref[0] = x[..., blank_id] + denom[..., 0]
+
+    s1, v = x.shape[1], x.shape[2]
+    v_idx = jax.lax.broadcasted_iota(jnp.int32, (s1, v), 1)
+    lab_mask = (v_idx == lab_ref[0, 0][:, None]).astype(jnp.float32)  # [S1, V]
+    gathered = jnp.sum(x * lab_mask[None], axis=-1)                   # [TT, S1]
+    lpl_ref[0] = gathered + denom[..., 0]
+
+
+def softmax_stats(logits: jnp.ndarray, labels_ext: jnp.ndarray, blank_id: int,
+                  interpret: bool = False):
+    """Fused denominator + blank/label log-prob extraction.
+
+    Args:
+      logits: [B, T, S1, V].
+      labels_ext: [B, S1] int32 label ids per s-slot (-1 where s >= S_b; the
+        caller masks lp_label to -inf on those slots).
+    Returns (denom, lp_blank, lp_label_raw), each [B, T, S1] f32.
+    """
+    batch, t_max, s1, v = logits.shape
+    tt = pick_time_tile(t_max, s1, v, n_bufs=3)
+    grid = (batch, pl.cdiv(t_max, tt))
+
+    small = jax.ShapeDtypeStruct((batch, t_max, s1), jnp.float32)
+    small_spec = pl.BlockSpec((1, tt, s1), lambda b, j: (b, j, 0),
+                              memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_stats_kernel, blank_id=blank_id),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, tt, s1, v), lambda b, j: (b, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, s1), lambda b, j: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(small_spec, small_spec, small_spec),
+        out_shape=(small, small, small),
+        interpret=interpret,
+    )(logits, labels_ext[:, None, :])
+
+
+# ---------------------------------------------------------------------------
+# Kernel 2: alpha / beta wavefront scans
+# ---------------------------------------------------------------------------
+
+
+def _shift_up_s(row, fill=NEG_INF):
+    """out[:, s] = row[:, s-1]; out[:, 0] = fill (lane roll + mask)."""
+    rolled = pltpu.roll(row, 1, axis=1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, row.shape, 1)
+    return jnp.where(lane == 0, fill, rolled)
+
+
+def _shift_down_s(row, fill=NEG_INF):
+    """out[:, s] = row[:, s+1]; out[:, -1] = fill."""
+    s1 = row.shape[-1]
+    rolled = pltpu.roll(row, s1 - 1, axis=1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, row.shape, 1)
+    return jnp.where(lane == s1 - 1, fill, rolled)
+
+
+def _lse(a, b):
+    mx = jnp.maximum(a, b)
+    mn = jnp.minimum(a, b)
+    bad = mx == NEG_INF
+    diff = jnp.where(bad, 0.0, mn - mx)
+    return jnp.where(bad, NEG_INF, mx + jnp.log1p(jnp.exp(diff)))
+
+
+def _alpha_kernel(lpb_ref, lpl_ref, amask_ref, alphas_ref, carry):
+    j = pl.program_id(1)
+    bt, tt, s1 = alphas_ref.shape
+
+    @pl.when(j == 0)
+    def _():
+        lane = jax.lax.broadcasted_iota(jnp.int32, (bt, s1), 1)
+        carry[...] = jnp.where(lane == 0, 0.0, NEG_INF)
+
+    def body(i, _):
+        prev = carry[...]
+        lpb = lpb_ref[:, i, :]
+        lpl = lpl_ref[:, i, :]
+        no_emit = prev + lpb
+        emit = _shift_up_s(prev + lpl)
+        new = _lse(no_emit, emit) + amask_ref[:, i, :]
+        carry[...] = new
+        alphas_ref[:, i, :] = new
+        return 0
+
+    jax.lax.fori_loop(0, tt, body, 0)
+
+
+def _beta_kernel(lpb_ref, lpl_ref, bmask_ref, ilen_ref, bvirt_ref, betas_ref,
+                 carry, *, tt):
+    j = pl.program_id(1)
+    bt, _, s1 = betas_ref.shape
+
+    @pl.when(j == 0)
+    def _():
+        carry[...] = jnp.full((bt, s1), NEG_INF, jnp.float32)
+
+    # This grid step covers global rows [t0, t0 + tt); iterate t descending.
+    t0 = (pl.num_programs(1) - 1 - j) * tt
+
+    def body(i, _):
+        ti = tt - 1 - i                        # local row, descending
+        t = t0 + ti                            # global t
+        use_virtual = t + 1 >= ilen_ref[:, :, 0]   # [BT, 1]
+        nxt = jnp.where(use_virtual, bvirt_ref[:, 0, :], carry[...])
+        lpb = lpb_ref[:, ti, :]
+        lpl = lpl_ref[:, ti, :]
+        no_emit = nxt + lpb
+        emit = _shift_down_s(nxt) + lpl
+        new = _lse(no_emit, emit) + bmask_ref[:, ti, :]
+        carry[...] = new
+        betas_ref[:, ti, :] = new
+        return 0
+
+    jax.lax.fori_loop(0, tt, body, 0)
+
+
+def _dp_spec(bt, tt, s1, reverse_t):
+    if reverse_t:
+        idx = lambda b, j: (b, pl.num_programs(1) - 1 - j, 0)
+    else:
+        idx = lambda b, j: (b, j, 0)
+    return pl.BlockSpec((bt, tt, s1), idx, memory_space=pltpu.VMEM)
+
+
+def alpha_scan(lp_blank, lp_label, alpha_maskadd, interpret: bool = False):
+    """Forward DP over the lattice; returns alphas [B, T, S1] (-inf off-band).
+
+    B must be a multiple of the batch tile and T of the time tile (use
+    dp_tiles + padding; fused.py does this).
+    """
+    batch, t_max, s1 = lp_blank.shape
+    bt, _, tt, _ = dp_tiles(batch, t_max, s1)
+    grid = (batch // bt, t_max // tt)
+    spec = _dp_spec(bt, tt, s1, reverse_t=False)
+    return pl.pallas_call(
+        _alpha_kernel,
+        grid=grid,
+        in_specs=[spec, spec, spec],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((batch, t_max, s1), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((bt, s1), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+        interpret=interpret,
+    )(lp_blank, lp_label, alpha_maskadd)
+
+
+def beta_scan(lp_blank, lp_label, beta_maskadd, input_lengths, beta_virtual,
+              interpret: bool = False):
+    """Backward DP; returns betas [B, T, S1] (code convention beta(t, s)).
+
+    input_lengths: [B, 1, 1] int32; beta_virtual: [B, S1] f32 rows equal to
+    [s == S_b] in log space.
+    """
+    batch, t_max, s1 = lp_blank.shape
+    bt, _, tt, _ = dp_tiles(batch, t_max, s1)
+    grid = (batch // bt, t_max // tt)
+    spec = _dp_spec(bt, tt, s1, reverse_t=True)
+    ilen_spec = pl.BlockSpec((bt, 1, 1), lambda b, j: (b, 0, 0),
+                             memory_space=pltpu.VMEM)
+    bvirt_spec = pl.BlockSpec((bt, 1, s1), lambda b, j: (b, 0, 0),
+                              memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_beta_kernel, tt=tt),
+        grid=grid,
+        in_specs=[spec, spec, spec, ilen_spec, bvirt_spec],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((batch, t_max, s1), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((bt, s1), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+        interpret=interpret,
+    )(lp_blank, lp_label, beta_maskadd, input_lengths, beta_virtual[:, None, :])
+
+
+# ---------------------------------------------------------------------------
+# Kernel 3: fused gradient
+# ---------------------------------------------------------------------------
+
+
+def _grad_kernel(x_ref, denom_ref, occ_ref, cb_ref, cl_ref, lab_ref, grad_ref,
+                 *, blank_id):
+    x = x_ref[0].astype(jnp.float32)          # [TT, S1, V]
+    s1, v = x.shape[1], x.shape[2]
+    p = jnp.exp(x + denom_ref[0][..., None])
+
+    v_idx = jax.lax.broadcasted_iota(jnp.int32, (s1, v), 1)
+    blank_mask = (v_idx == blank_id)[None]                     # [1, S1, V]
+    label_mask = (v_idx == lab_ref[0, 0][:, None])[None]
+
+    coef = (occ_ref[0][..., None]
+            - jnp.where(blank_mask, cb_ref[0][..., None], 0.0)
+            - jnp.where(label_mask, cl_ref[0][..., None], 0.0))
+    # Out-of-lattice cells have coef == 0; guard against inf * 0 from padded
+    # activations producing NaN.
+    grad_ref[0] = jnp.where(coef == 0.0, 0.0, p * coef).astype(grad_ref.dtype)
+
+
+def grad_pass(logits, denom, occ, cb, cl, labels_ext, blank_id: int,
+              out_dtype=jnp.float32, interpret: bool = False):
+    """Fused dL/dz: one read of logits, one write of grads."""
+    batch, t_max, s1, v = logits.shape
+    tt = pick_time_tile(t_max, s1, v, n_bufs=4)
+    grid = (batch, pl.cdiv(t_max, tt))
+    big_spec = pl.BlockSpec((1, tt, s1, v), lambda b, j: (b, j, 0, 0),
+                            memory_space=pltpu.VMEM)
+    small_spec = pl.BlockSpec((1, tt, s1), lambda b, j: (b, j, 0),
+                              memory_space=pltpu.VMEM)
+    lab_spec = pl.BlockSpec((1, 1, s1), lambda b, j: (b, 0, 0),
+                            memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_grad_kernel, blank_id=blank_id),
+        grid=grid,
+        in_specs=[big_spec, small_spec, small_spec, small_spec, small_spec,
+                  lab_spec],
+        out_specs=big_spec,
+        out_shape=jax.ShapeDtypeStruct((batch, t_max, s1, v), out_dtype),
+        interpret=interpret,
+    )(logits, denom, occ, cb, cl, labels_ext[:, None, :])

@@ -1,0 +1,155 @@
+"""Vocab-sharded (tensor-parallel) monotonic RNN-T loss.
+
+When V * T * S exceeds one chip's HBM (e.g. 10k-BPE joint outputs on long
+utterances), the logits' vocab axis is sharded over the 'model' mesh axis.
+Each shard computes local softmax statistics in one pass; a pmax/psum pair
+over ICI combines them into the global denominator; the tiny forward-backward
+recursion is computed redundantly on every shard; gradients are produced for
+the local vocab slice only — so the big tensor is never gathered.
+
+The reference has no tensor-parallel path (its GPU kernel strides one thread
+block over the whole V per lattice cell, gpu_rnnt_kernel.h:273-287); this is
+the TPU-native scale-out of the same math.
+
+Use inside shard_map with a named 'model' axis, or via
+make_dp_tp_loss(mesh) below.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental.shard_map import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..ops.bands import Bands, default_bands, lattice_masks
+from ..ops.helpers import NEG_INF
+from ..ops.reference import (LatticeStats, forward_backward,
+                             gradients_from_coefficients,
+                             occupancy_coefficients)
+from .mesh import DATA_AXIS, MODEL_AXIS
+
+
+def _labels_ext(labels, label_lengths, s1):
+    batch = labels.shape[0]
+    lab = labels.astype(jnp.int32)
+    pad = jnp.full((batch, s1 - lab.shape[1]), -1, jnp.int32)
+    lab = jnp.concatenate([lab, pad], axis=1)
+    s_idx = jnp.arange(s1, dtype=jnp.int32)[None, :]
+    return jnp.where(s_idx < label_lengths.astype(jnp.int32)[:, None], lab, -1)
+
+
+def _sharded_stats(x_local, labels_ext, blank_id, axis_name):
+    """Global softmax stats from a local vocab slice (one pass + collectives)."""
+    v_local = x_local.shape[-1]
+    shard = jax.lax.axis_index(axis_name)
+    v_offset = shard * v_local
+
+    m = jax.lax.pmax(jnp.max(x_local, axis=-1), axis_name)     # [B,T,S1]
+    se = jax.lax.psum(
+        jnp.sum(jnp.exp(x_local - m[..., None]), axis=-1), axis_name)
+    denom = -(m + jnp.log(se))
+
+    def pick(col_global):
+        """x[..., col] for a global column living on whichever shard owns it."""
+        rel = col_global - v_offset                             # [...]
+        in_shard = (rel >= 0) & (rel < v_local)
+        safe = jnp.clip(rel, 0, v_local - 1)
+        return in_shard, safe
+
+    in_b, safe_b = pick(jnp.asarray(blank_id))
+    xb = jnp.where(in_b, jnp.take(x_local, safe_b, axis=-1), 0.0)
+    lp_blank = jax.lax.psum(xb, axis_name) + denom
+
+    # labels_ext: [B, S1] global ids (-1 padding never matches any shard).
+    rel = labels_ext - v_offset
+    in_shard = (rel >= 0) & (rel < v_local)
+    safe = jnp.clip(rel, 0, v_local - 1)
+    gathered = jnp.take_along_axis(x_local, safe[:, None, :, None],
+                                   axis=-1)[..., 0]
+    xl = jax.lax.psum(jnp.where(in_shard[:, None, :], gathered, 0.0),
+                      axis_name)
+    valid = in_shard  # true on exactly one shard for real labels
+    any_valid = jax.lax.psum(valid.astype(jnp.int32), axis_name) > 0
+    lp_label = jnp.where(any_valid[:, None, :], xl + denom, NEG_INF)
+    return denom, lp_blank, lp_label, v_offset
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(6, 7))
+def rnnt_loss_vocab_sharded(logits_local, labels, input_lengths,
+                            label_lengths, band_min, band_max, blank_id,
+                            axis_name):
+    costs, _ = _vocab_sharded_impl(logits_local, labels, input_lengths,
+                                   label_lengths, Bands(band_min, band_max),
+                                   blank_id, axis_name, with_grads=False)
+    return costs
+
+
+def _vocab_sharded_impl(logits_local, labels, input_lengths, label_lengths,
+                        bands, blank_id, axis_name, with_grads):
+    x = logits_local.astype(jnp.float32)
+    batch, t_max, s1, _ = x.shape
+    ilen = input_lengths.astype(jnp.int32)
+    slen = label_lengths.astype(jnp.int32)
+    labels_ext = _labels_ext(labels, slen, s1)
+
+    denom, lp_blank, lp_label, v_offset = _sharded_stats(
+        x, labels_ext, blank_id, axis_name)
+    masks = lattice_masks(ilen, slen, bands, t_max, s1)
+    stats = LatticeStats(denom=denom, lp_blank=lp_blank, lp_label=lp_label)
+    alphas, betas, ll_fwd, _ = forward_backward(stats, masks, ilen, slen,
+                                                compute_betas=with_grads)
+    costs = -ll_fwd
+    if not with_grads:
+        return costs, None
+    occ, cb, cl = occupancy_coefficients(alphas, betas, ll_fwd, ilen, slen)
+    grads_local = gradients_from_coefficients(
+        x, denom, labels, slen, occ, cb, cl, blank_id, v_offset=v_offset)
+    return costs, grads_local
+
+
+def _vs_fwd(logits_local, labels, input_lengths, label_lengths, band_min,
+            band_max, blank_id, axis_name):
+    costs, grads = _vocab_sharded_impl(
+        logits_local, labels, input_lengths, label_lengths,
+        Bands(band_min, band_max), blank_id, axis_name, with_grads=True)
+    return costs, (grads, jnp.zeros((0,), logits_local.dtype))
+
+
+def _vs_bwd(blank_id, axis_name, residuals, ct):
+    grads, marker = residuals
+    return (grads * ct[:, None, None, None]).astype(marker.dtype), \
+        None, None, None, None, None
+
+
+rnnt_loss_vocab_sharded.defvjp(_vs_fwd, _vs_bwd)
+
+
+def make_dp_tp_loss(mesh: Mesh, *, blank_id: int = 0,
+                    mean_over_batch: bool = True):
+    """Jitted loss with batch sharded on 'data' and vocab on 'model'.
+
+    fn(logits [B,T,S1,V], labels, input_lengths, label_lengths) -> scalar.
+    """
+
+    @partial(shard_map, mesh=mesh,
+             in_specs=(P(DATA_AXIS, None, None, MODEL_AXIS), P(DATA_AXIS),
+                       P(DATA_AXIS), P(DATA_AXIS)),
+             out_specs=P())
+    def _fn(logits, labels, input_lengths, label_lengths):
+        t_max = logits.shape[1]
+        bands = default_bands(input_lengths, label_lengths, t_max)
+        costs = rnnt_loss_vocab_sharded(
+            logits, labels, input_lengths, label_lengths, bands.min_s,
+            bands.max_s, blank_id, MODEL_AXIS)
+        total = jax.lax.psum(jnp.sum(costs), DATA_AXIS)
+        if mean_over_batch:
+            n = jax.lax.psum(jnp.asarray(costs.shape[0], jnp.float32),
+                             DATA_AXIS)
+            return total / n
+        return total
+
+    return jax.jit(_fn)
