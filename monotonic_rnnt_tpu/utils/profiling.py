@@ -1,0 +1,85 @@
+"""Profiling and benchmarking utilities.
+
+Replaces the reference's DEBUG_TIME chrono blocks (cpu_rnnt.h:43-88,
+gpu_rnnt.h:41-50) with jax.profiler integration plus a timing method that
+stays honest on asynchronous/tunneled TPU runtimes: K data-dependent
+iterations inside one jit, so no iteration can be cached, reordered, or
+overlapped away.
+"""
+
+from __future__ import annotations
+
+import time
+from contextlib import contextmanager
+from typing import Callable, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@contextmanager
+def phase_timer(name: str, enabled: bool = True, file=None):
+    """Wall-clock a phase (the DEBUG_TIME equivalent)."""
+    t0 = time.perf_counter()
+    with jax.profiler.TraceAnnotation(name):
+        yield
+    if enabled:
+        print(f"[mrnnt] {name}: {(time.perf_counter() - t0) * 1e3:.2f} ms",
+              file=file)
+
+
+@contextmanager
+def device_trace(log_dir: str):
+    """Capture a jax.profiler device trace into log_dir (view with XProf)."""
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
+def dependent_loop_bench(
+    step_fn: Callable,
+    perturb_fn: Callable,
+    feedback_fn: Callable,
+    args: Tuple,
+    iters: int = 30,
+    trials: int = 3,
+) -> Tuple[float, float]:
+    """Time `step_fn` honestly on an async device.
+
+    Runs `iters` iterations inside one jit; each iteration perturbs the first
+    argument with the previous iteration's scalar feedback so the chain is
+    data-dependent end to end:
+
+        x_{i+1} = perturb_fn(x_i, feedback_fn(step_fn(x_i, *rest)))
+
+    Returns (mean_seconds_per_iter over trials, variance). Matches the
+    reference harness's 10-iteration mean+variance report
+    (tests/test_time.cpp:31-59) but immune to dispatch caching.
+    """
+
+    def body(i, carry):
+        x, acc = carry
+        x = perturb_fn(x, acc)
+        out = step_fn(x, *args[1:])
+        return (x, feedback_fn(out))
+
+    @jax.jit
+    def run(x):
+        return jax.lax.fori_loop(0, iters, body, (x, jnp.float32(0.0)))[1]
+
+    x0 = args[0]
+    _ = float(run(x0))  # compile + warm
+    times = []
+    for _ in range(trials):
+        t0 = time.perf_counter()
+        _ = float(run(x0))
+        times.append((time.perf_counter() - t0) / iters)
+    return float(np.mean(times)), float(np.var(times))
+
+
+def default_perturb(x, acc):
+    """Cheap in-place data dependence: nudge one lane by an epsilon of acc."""
+    return x.at[(0,) * (x.ndim - 1) + (slice(0, 1),)].add(acc * 1e-20)

@@ -1,0 +1,69 @@
+"""Torch binding tests — parity with reference pytorch_binding/test.py."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+torch = pytest.importorskip("torch")
+
+from monotonic_rnnt_tpu.interop.torch_binding import (MonotonicRNNTLoss,
+                                                      monotonic_rnnt_loss)
+from monotonic_rnnt_tpu.ops.packing import pack_acts
+
+import golden
+
+
+def _packed_readme():
+    logits, labels, ilen, slen = golden.readme_batch()
+    packed = np.asarray(pack_acts(jnp.asarray(logits), ilen, slen))
+    return (torch.tensor(packed, requires_grad=True),
+            torch.tensor(labels), torch.tensor(ilen), torch.tensor(slen))
+
+
+def test_torch_golden_forward_backward():
+    acts, labels, ilen, slen = _packed_readme()
+    costs = monotonic_rnnt_loss(acts, labels, ilen, slen)
+    np.testing.assert_allclose(costs.detach().numpy(), [golden.README_LOSS],
+                               atol=1e-4)
+    costs.sum().backward()
+    np.testing.assert_allclose(acts.grad.numpy().reshape(4, 3, 3),
+                               golden.README_GRADS, atol=1e-2)
+
+
+def test_torch_cotangent_scaling():
+    acts, labels, ilen, slen = _packed_readme()
+    costs = monotonic_rnnt_loss(acts, labels, ilen, slen)
+    (2.5 * costs.sum()).backward()
+    np.testing.assert_allclose(acts.grad.numpy().reshape(4, 3, 3),
+                               2.5 * golden.README_GRADS, atol=3e-2)
+
+
+def test_torch_align_restrict_golden():
+    # Reference pytorch_binding/test.py:110 and :128 golden values.
+    acts, labels, ilen, slen = _packed_readme()
+    c1 = monotonic_rnnt_loss(acts, labels, ilen, slen,
+                             alignment=torch.tensor(golden.ALIGN_A[None]),
+                             max_distance_from_alignment=1)
+    np.testing.assert_allclose(c1.detach().numpy(), [1.22], atol=1e-2)
+    c2 = monotonic_rnnt_loss(acts, labels, ilen, slen,
+                             alignment=torch.tensor(golden.ALIGN_B[None]),
+                             max_distance_from_alignment=0)
+    np.testing.assert_allclose(c2.detach().numpy(), [2.7], atol=1e-2)
+
+
+def test_torch_module_reductions():
+    acts, labels, ilen, slen = _packed_readme()
+    assert float(MonotonicRNNTLoss(reduction="sum")(
+        acts, labels, ilen, slen)) == pytest.approx(golden.README_LOSS,
+                                                    abs=1e-4)
+    loss = MonotonicRNNTLoss(reduction="mean")(acts, labels, ilen, slen)
+    loss.backward()
+    assert acts.grad is not None
+
+
+def test_torch_multibatch():
+    logits, labels, ilen, slen, exp_losses, _ = golden.multibatch()
+    packed = np.asarray(pack_acts(jnp.asarray(logits), ilen, slen))
+    costs = monotonic_rnnt_loss(torch.tensor(packed), torch.tensor(labels),
+                                torch.tensor(ilen), torch.tensor(slen))
+    np.testing.assert_allclose(costs.numpy(), exp_losses, atol=1e-4)
