@@ -1,0 +1,141 @@
+"""TensorFlow binding (API-compatible with the reference's tensorflow_binding).
+
+Mirrors the reference's public TF surface (register_op.py:20-72 and the
+MonotonicRNNT / MonotonicRNNTAlignRestrict custom ops,
+monotonic_rnnt_op.cu:16-41, monotonic_rnnt_op_align_restrict.cu:25-41):
+
+  monotonic_rnnt_loss(acts, labels, input_lengths, label_lengths,
+                      alignment=None, max_distance_from_alignment=0,
+                      blank_label=0) -> costs [B]
+
+over the packed activation layout ([sum_b T_b*(S_b+1), V]), with the
+gradient registered as the reference does it — the forward produces logit
+grads, backward is `tf.repeat(grad_loss, T_b*(S_b+1))[:, None] * grads`
+(register_op.py:77-148). Compute runs on the native C++ engine
+(native/mrnnt.cpp) through `tf.numpy_function`, so it works in both eager
+and graph mode on CPU hosts — the same role the reference's compiled
+`.so` op plays, without a TF build dependency.
+
+For accelerator execution inside TF graphs there is additionally
+`monotonic_rnnt_loss_padded`: the framework's padded-layout JAX loss
+staged into TF via jax2tf, differentiable under `tf.GradientTape` and
+jit-compilable with XLA (this is the TPU-native replacement for the
+reference's CUDA kernel path inside the TF op).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+try:
+    import tensorflow as tf
+except ImportError:  # pragma: no cover - tf is baked into the image
+    tf = None
+
+from ..native import rnnt_loss_native
+
+
+def _require_tf():
+    if tf is None:
+        raise ImportError("tensorflow is not available in this environment")
+
+
+def _native_fwd(acts, labels, ilen, slen, align, max_dist, blank):
+    costs, grads = rnnt_loss_native(
+        acts, labels, ilen, slen, blank_id=int(blank),
+        alignment=None if align.size == 0 else align,
+        max_distance_from_alignment=int(max_dist), with_grads=True)
+    return costs.astype(np.float32), grads.astype(np.float32)
+
+
+def monotonic_rnnt_loss(
+    acts,
+    labels,
+    input_lengths,
+    label_lengths,
+    alignment=None,
+    max_distance_from_alignment: int = 0,
+    blank_label: int = 0,
+):
+    """Reference-compatible packed-layout TF loss.
+
+    Args:
+      acts: packed 2-D float32 tensor [sum_b T_b*(S_b+1), V] of raw logits,
+        row-major per sample exactly as the reference documents
+        (register_op.py:32-39); softmax is applied internally.
+      labels: [B, S_max] int32 padded label sequences (no blanks).
+      input_lengths / label_lengths: [B] int32 per-sample T_b / S_b.
+      alignment: optional [B, T_max] int32 reference alignment; selects the
+        alignment-restricted variant (reference MonotonicRNNTAlignRestrict).
+      max_distance_from_alignment: allowed band half-width around `alignment`.
+      blank_label: vocabulary index of blank.
+
+    Returns:
+      [B] float32 per-sample negative log-likelihoods, differentiable w.r.t.
+      acts (and only acts, matching register_op.py:77-148).
+    """
+    _require_tf()
+    acts = tf.convert_to_tensor(acts, tf.float32)
+    labels = tf.convert_to_tensor(labels, tf.int32)
+    input_lengths = tf.convert_to_tensor(input_lengths, tf.int32)
+    label_lengths = tf.convert_to_tensor(label_lengths, tf.int32)
+    align_t = (tf.zeros([0, 0], tf.int32) if alignment is None
+               else tf.convert_to_tensor(alignment, tf.int32))
+
+    @tf.custom_gradient
+    def _loss(acts_in):
+        costs, grads = tf.numpy_function(
+            _native_fwd,
+            [acts_in, labels, input_lengths, label_lengths, align_t,
+             np.int32(max_distance_from_alignment), np.int32(blank_label)],
+            [tf.float32, tf.float32])
+        costs.set_shape(input_lengths.shape)
+        grads.set_shape(acts_in.shape)
+
+        def grad_fn(grad_loss, variables=None):
+            del variables
+            repeats = input_lengths * (label_lengths + 1)
+            scale = tf.expand_dims(tf.repeat(grad_loss, repeats, axis=0), 1)
+            return scale * grads
+
+        return costs, grad_fn
+
+    return _loss(acts)
+
+
+_PADDED_TF_FN = {}
+
+
+def monotonic_rnnt_loss_padded(
+    logits,
+    labels,
+    input_lengths,
+    label_lengths,
+    blank_label: int = 0,
+    backend: Optional[str] = None,
+):
+    """Padded-layout loss as a native TF/XLA computation (via jax2tf).
+
+    logits: [B, T_max, S_max+1, V] float tensor; other args as in the packed
+    API. Differentiable under tf.GradientTape; compiles with jit_compile=True
+    on TPU — the TF-graph equivalent of the framework's JAX entry point.
+    """
+    _require_tf()
+    key = (int(blank_label), backend)
+    if key not in _PADDED_TF_FN:
+        from jax.experimental import jax2tf
+
+        from ..ops.loss import monotonic_rnnt_loss as jax_loss
+
+        def fn(logits, labels, ilen, slen):
+            return jax_loss(logits, labels, ilen, slen,
+                            blank_id=int(blank_label), backend=backend)
+
+        _PADDED_TF_FN[key] = jax2tf.convert(fn, with_gradient=True)
+    return _PADDED_TF_FN[key](
+        tf.convert_to_tensor(logits),
+        tf.convert_to_tensor(labels, tf.int32),
+        tf.convert_to_tensor(input_lengths, tf.int32),
+        tf.convert_to_tensor(label_lengths, tf.int32))

@@ -1,0 +1,127 @@
+"""TF binding tests — parity with reference tensorflow_binding/test.py.
+
+Covers: golden forward + gradients through tf.GradientTape (reference
+test.py:9-67), the alignment-restricted variant (test.py:70-124), cotangent
+scaling through the registered gradient (register_op.py:77-148 chain rule),
+multibatch packed offsets, and the padded-layout jax2tf path.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+tf = pytest.importorskip("tensorflow")
+
+from monotonic_rnnt_tpu.interop.tf_binding import (monotonic_rnnt_loss,
+                                                   monotonic_rnnt_loss_padded)
+from monotonic_rnnt_tpu.interop.returnn_op import (
+    monotonic_rnnt_loss as returnn_loss)
+from monotonic_rnnt_tpu.ops.packing import pack_acts
+
+import golden
+
+
+def _packed_readme():
+    logits, labels, ilen, slen = golden.readme_batch()
+    packed = np.asarray(pack_acts(jnp.asarray(logits), ilen, slen))
+    return (tf.constant(packed), tf.constant(labels), tf.constant(ilen),
+            tf.constant(slen))
+
+
+def test_tf_golden_forward_backward():
+    acts, labels, ilen, slen = _packed_readme()
+    with tf.GradientTape() as tape:
+        tape.watch(acts)
+        costs = monotonic_rnnt_loss(acts, labels, ilen, slen)
+        total = tf.reduce_sum(costs)
+    np.testing.assert_allclose(costs.numpy(), [golden.README_LOSS], atol=1e-4)
+    grads = tape.gradient(total, acts)
+    np.testing.assert_allclose(grads.numpy().reshape(4, 3, 3),
+                               golden.README_GRADS, atol=1e-2)
+
+
+def test_tf_cotangent_scaling():
+    acts, labels, ilen, slen = _packed_readme()
+    with tf.GradientTape() as tape:
+        tape.watch(acts)
+        total = 2.5 * tf.reduce_sum(
+            monotonic_rnnt_loss(acts, labels, ilen, slen))
+    grads = tape.gradient(total, acts)
+    np.testing.assert_allclose(grads.numpy().reshape(4, 3, 3),
+                               2.5 * golden.README_GRADS, atol=3e-2)
+
+
+def test_tf_align_restrict_golden():
+    acts, labels, ilen, slen = _packed_readme()
+    c1 = monotonic_rnnt_loss(acts, labels, ilen, slen,
+                             alignment=tf.constant(golden.ALIGN_A[None]),
+                             max_distance_from_alignment=1)
+    np.testing.assert_allclose(c1.numpy(), [1.22], atol=1e-2)
+    c2 = monotonic_rnnt_loss(acts, labels, ilen, slen,
+                             alignment=tf.constant(golden.ALIGN_B[None]),
+                             max_distance_from_alignment=0)
+    np.testing.assert_allclose(c2.numpy(), [2.7], atol=1e-2)
+
+
+def test_tf_multibatch():
+    logits, labels, ilen, slen, exp_losses, _ = golden.multibatch()
+    packed = np.asarray(pack_acts(jnp.asarray(logits), ilen, slen))
+    costs = monotonic_rnnt_loss(tf.constant(packed), tf.constant(labels),
+                                tf.constant(ilen), tf.constant(slen))
+    np.testing.assert_allclose(costs.numpy(), exp_losses, atol=1e-4)
+
+
+def test_tf_graph_mode():
+    acts, labels, ilen, slen = _packed_readme()
+
+    @tf.function
+    def step(a):
+        with tf.GradientTape() as tape:
+            tape.watch(a)
+            total = tf.reduce_sum(monotonic_rnnt_loss(a, labels, ilen, slen))
+        return total, tape.gradient(total, a)
+
+    total, grads = step(acts)
+    assert float(total) == pytest.approx(golden.README_LOSS, abs=1e-4)
+    assert grads.shape == acts.shape
+
+
+def test_tf_padded_jax2tf_path():
+    logits, labels, ilen, slen = golden.readme_batch()
+    x = tf.constant(np.asarray(logits, np.float32))
+    with tf.GradientTape() as tape:
+        tape.watch(x)
+        costs = monotonic_rnnt_loss_padded(x, tf.constant(labels),
+                                           tf.constant(ilen),
+                                           tf.constant(slen))
+        total = tf.reduce_sum(costs)
+    np.testing.assert_allclose(costs.numpy(), [golden.README_LOSS], atol=1e-4)
+    grads = tape.gradient(total, x)
+    np.testing.assert_allclose(grads.numpy()[0], golden.README_GRADS,
+                               atol=1e-2)
+
+
+def test_returnn_surface():
+    acts, labels, ilen, slen = _packed_readme()
+    costs = returnn_loss(acts, labels, ilen, slen, blank_label=0)
+    np.testing.assert_allclose(costs.numpy(), [golden.README_LOSS], atol=1e-4)
+
+
+def test_tf_no_inf_nan_random():
+    # Reference tensorflow_binding/test.py size-test property: finite outputs.
+    rng = np.random.RandomState(0)
+    B, T, S, V = 2, 20, 5, 11
+    logits = rng.randn(B, T, S + 1, V).astype(np.float32)
+    labels = rng.randint(1, V, size=(B, S)).astype(np.int32)
+    ilen = np.array([T, T - 3], np.int32)
+    slen = np.array([S, S - 2], np.int32)
+    packed = np.asarray(pack_acts(jnp.asarray(logits), ilen, slen))
+    with tf.GradientTape() as tape:
+        a = tf.constant(packed)
+        tape.watch(a)
+        costs = monotonic_rnnt_loss(a, tf.constant(labels), tf.constant(ilen),
+                                    tf.constant(slen))
+        total = tf.reduce_sum(costs)
+    g = tape.gradient(total, a)
+    assert np.all(np.isfinite(costs.numpy()))
+    assert np.all(np.isfinite(g.numpy()))
