@@ -60,6 +60,26 @@ def test_custom_vjp_matches_numerical_grads():
                                    rtol=5e-2, atol=5e-3)
 
 
+def test_check_grads_rev_mode():
+    # Systematic VJP check (jax.test_util.check_grads), the replacement for
+    # the reference's implicit "trust the forward-produced grads" design
+    # (SURVEY.md §4); first-order reverse mode against central differences.
+    from jax.test_util import check_grads
+
+    rng = np.random.RandomState(11)
+    logits = jnp.asarray(rng.randn(2, 5, 3, 4).astype(np.float32))
+    labels = jnp.asarray(rng.randint(1, 4, size=(2, 2)).astype(np.int32))
+    ilen = jnp.asarray(np.array([5, 4], np.int32))
+    slen = jnp.asarray(np.array([2, 1], np.int32))
+
+    @jax.jit
+    def f(lg):
+        return jnp.sum(monotonic_rnnt_loss(lg, labels, ilen, slen,
+                                           backend="reference"))
+
+    check_grads(f, (logits,), order=1, modes=["rev"], atol=2e-2, rtol=2e-2)
+
+
 def test_loss_under_jit_and_cotangent_scaling():
     logits, labels, ilen, slen = _readme_args()
 
