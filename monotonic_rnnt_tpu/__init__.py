@@ -12,6 +12,7 @@ Public API:
   Bands / bands_from_alignment — alignment-restriction bands
 """
 
+from .ops.alignment import ViterbiResult, viterbi_alignment
 from .ops.bands import Bands, bands_from_alignment, default_bands
 from .ops.loss import monotonic_rnnt_alignment_score, monotonic_rnnt_loss
 from .ops.packing import (monotonic_rnnt_loss_packed, pack_acts, unpack_acts)
@@ -25,6 +26,8 @@ __all__ = [
     "monotonic_rnnt_loss",
     "monotonic_rnnt_loss_packed",
     "monotonic_rnnt_alignment_score",
+    "viterbi_alignment",
+    "ViterbiResult",
     "rnnt_loss_reference",
     "Bands",
     "bands_from_alignment",

@@ -25,9 +25,11 @@ plus the gradient pass, gpu_rnnt_kernel.h:239-288):
 All DP math is float32 in log space with exact -inf boundary semantics.
 
 Mosaic tiling notes: blocks whose trailing dims are (TT, S1) require TT % 8
-== 0; the V axis is always kept whole so vocab reductions stay in-block; the
-tiny per-sample arrays (labels, lengths, virtual rows) ride along as
-singleton-blocked [B, 1, S1]-style operands.
+== 0. The V axis stays whole when a TT=8 slab fits the VMEM budget (vocab
+reductions then need no cross-block state); in the large-vocab regime it is
+tiled and the stats kernel runs an online logsumexp across V-blocks (see
+pick_tv_tiles). The tiny per-sample arrays (labels, lengths, virtual rows)
+ride along as singleton-blocked [B, 1, S1]-style operands.
 """
 
 from __future__ import annotations
@@ -46,17 +48,37 @@ from ..helpers import NEG_INF
 # ---------------------------------------------------------------------------
 
 _VMEM_BUDGET_BYTES = 8 * 1024 * 1024
+# Mosaic's default scoped-vmem limit (16M) counts not just our blocks but the
+# compiler's own vector temporaries, which for wide-S1 blocks can triple the
+# footprint; raise the per-kernel limit (v5e/v5p have 128M physical VMEM) and
+# keep our own block budget conservative instead.
+_VMEM_LIMIT = pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
 
 
 def round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def pick_time_tile(t_max: int, s1: int, v: int, n_bufs: int) -> int:
-    """Largest T-tile (multiple of 8) whose working set fits the VMEM budget."""
-    row_bytes = round_up(s1, 8) * round_up(v, 128) * 4
-    tile = max(8, (_VMEM_BUDGET_BYTES // max(1, n_bufs * row_bytes)) // 8 * 8)
-    return int(min(tile, round_up(t_max, 8), 64))
+def pick_tv_tiles(t_max: int, s1: int, v: int, n_bufs: int):
+    """(TT, VT) for the V-carrying kernels under the VMEM budget.
+
+    Prefers keeping the whole (128-padded) vocab axis in one block (the
+    vocab reduction then needs no cross-block accumulator); when even a
+    TT=8 slab of full-V rows exceeds the budget (large-vocab regime,
+    e.g. V=5000 at S=20 — a reference test.py:164-170 shape), the V axis is
+    tiled instead and the stats kernel switches to an online logsumexp
+    accumulated across V-blocks. n_bufs counts V-sized VMEM blocks alive per
+    program (x2 for Mosaic double-buffering).
+    """
+    s1r = round_up(s1, 8)
+    vt = round_up(v, 128)
+    per_row = 2 * n_bufs * s1r * 4          # bytes per (t, v-lane) row, dbuf
+    tt = (_VMEM_BUDGET_BYTES // max(1, per_row * vt)) // 8 * 8
+    if tt >= 8:
+        return int(min(tt, round_up(t_max, 8), 64)), int(vt)
+    # Tile V: largest multiple of 128 that fits with TT=8.
+    vt = max(128, (_VMEM_BUDGET_BYTES // max(1, per_row * 8)) // 128 * 128)
+    return 8, int(min(vt, round_up(v, 128)))
 
 
 def dp_tiles(batch: int, t_max: int, s1: int):
@@ -87,23 +109,56 @@ def dp_tiles(batch: int, t_max: int, s1: int):
 # ---------------------------------------------------------------------------
 
 
-def _stats_kernel(x_ref, lab_ref, denom_ref, lpb_ref, lpl_ref, *, blank_id):
-    x = x_ref[0].astype(jnp.float32)          # [TT, S1, V]
-    m = jnp.max(x, axis=-1, keepdims=True)
-    se = jnp.sum(jnp.exp(x - m), axis=-1, keepdims=True)
-    denom = -(m + jnp.log(se))                # [TT, S1, 1]
-    denom_ref[0] = denom[..., 0]
-    lpb_ref[0] = x[..., blank_id] + denom[..., 0]
+def _stats_kernel(x_ref, lab_ref, denom_ref, lpb_ref, lpl_ref, m_sc, se_sc,
+                  g_sc, *, blank_id, v_total, vt):
+    """Online logsumexp over V-blocks (single pass when the grid's V dim is 1).
 
-    s1, v = x.shape[1], x.shape[2]
-    v_idx = jax.lax.broadcasted_iota(jnp.int32, (s1, v), 1)
-    lab_mask = (v_idx == lab_ref[0, 0][:, None]).astype(jnp.float32)  # [S1, V]
-    gathered = jnp.sum(x * lab_mask[None], axis=-1)                   # [TT, S1]
-    lpl_ref[0] = gathered + denom[..., 0]
+    Scratch carries across the innermost ('arbitrary') grid dimension:
+      m_sc  — running max, se_sc — running sum(exp(x - m)),
+      g_sc  — blank/label raw logits packed as [2, TT, S1] (exactly one
+              V-block contributes each, accumulated by masked sum).
+    """
+    jv = pl.program_id(2)
+    nv = pl.num_programs(2)
+    x = x_ref[0].astype(jnp.float32)          # [TT, S1, VT]
+    tt, s1 = x.shape[0], x.shape[1]
+
+    # Mask lanes past the true vocab size (the last V-block may overhang).
+    v_global = jv * vt + jax.lax.broadcasted_iota(jnp.int32, x.shape, 2)
+    x = jnp.where(v_global < v_total, x, NEG_INF)
+
+    m_blk = jnp.max(x, axis=-1)               # [TT, S1]
+    lab = lab_ref[0, 0]                        # [S1]
+    blank_hit = jnp.where(v_global == blank_id, x, 0.0)
+    label_hit = jnp.where(v_global == lab[None, :, None], x, 0.0)
+    g_blk = jnp.stack([jnp.sum(blank_hit, axis=-1),
+                       jnp.sum(label_hit, axis=-1)])  # [2, TT, S1]
+
+    @pl.when(jv == 0)
+    def _():
+        m_sc[...] = m_blk
+        se_sc[...] = jnp.sum(jnp.exp(x - m_blk[..., None]), axis=-1)
+        g_sc[...] = g_blk
+
+    @pl.when(jv > 0)
+    def _():
+        m_old = m_sc[...]
+        m_new = jnp.maximum(m_old, m_blk)
+        se_sc[...] = (se_sc[...] * jnp.exp(m_old - m_new) +
+                      jnp.sum(jnp.exp(x - m_new[..., None]), axis=-1))
+        m_sc[...] = m_new
+        g_sc[...] = g_sc[...] + g_blk
+
+    @pl.when(jv == nv - 1)
+    def _():
+        denom = -(m_sc[...] + jnp.log(se_sc[...]))
+        denom_ref[0] = denom
+        lpb_ref[0] = g_sc[0] + denom
+        lpl_ref[0] = g_sc[1] + denom
 
 
 def softmax_stats(logits: jnp.ndarray, labels_ext: jnp.ndarray, blank_id: int,
-                  interpret: bool = False):
+                  interpret: bool = False, tiles=None):
     """Fused denominator + blank/label log-prob extraction.
 
     Args:
@@ -113,23 +168,29 @@ def softmax_stats(logits: jnp.ndarray, labels_ext: jnp.ndarray, blank_id: int,
     Returns (denom, lp_blank, lp_label_raw), each [B, T, S1] f32.
     """
     batch, t_max, s1, v = logits.shape
-    tt = pick_time_tile(t_max, s1, v, n_bufs=3)
-    grid = (batch, pl.cdiv(t_max, tt))
+    tt, vt = tiles or pick_tv_tiles(t_max, s1, v, n_bufs=1)
+    grid = (batch, pl.cdiv(t_max, tt), pl.cdiv(v, vt))
 
     small = jax.ShapeDtypeStruct((batch, t_max, s1), jnp.float32)
-    small_spec = pl.BlockSpec((1, tt, s1), lambda b, j: (b, j, 0),
+    small_spec = pl.BlockSpec((1, tt, s1), lambda b, j, jv: (b, j, 0),
                               memory_space=pltpu.VMEM)
     return pl.pallas_call(
-        functools.partial(_stats_kernel, blank_id=blank_id),
+        functools.partial(_stats_kernel, blank_id=blank_id, v_total=v, vt=vt),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, tt, s1, v), lambda b, j: (b, j, 0, 0),
+            pl.BlockSpec((1, tt, s1, vt), lambda b, j, jv: (b, j, 0, jv),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, s1), lambda b, j: (b, 0, 0),
+            pl.BlockSpec((1, 1, s1), lambda b, j, jv: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(small_spec, small_spec, small_spec),
         out_shape=(small, small, small),
+        scratch_shapes=[pltpu.VMEM((tt, s1), jnp.float32),
+                        pltpu.VMEM((tt, s1), jnp.float32),
+                        pltpu.VMEM((2, tt, s1), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=_VMEM_LIMIT.vmem_limit_bytes),
         interpret=interpret,
     )(logits, labels_ext[:, None, :])
 
@@ -240,7 +301,8 @@ def alpha_scan(lp_blank, lp_label, alpha_maskadd, interpret: bool = False):
         out_shape=jax.ShapeDtypeStruct((batch, t_max, s1), jnp.float32),
         scratch_shapes=[pltpu.VMEM((bt, s1), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary")),
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=_VMEM_LIMIT.vmem_limit_bytes),
         interpret=interpret,
     )(lp_blank, lp_label, alpha_maskadd)
 
@@ -268,7 +330,8 @@ def beta_scan(lp_blank, lp_label, beta_maskadd, input_lengths, beta_virtual,
         out_shape=jax.ShapeDtypeStruct((batch, t_max, s1), jnp.float32),
         scratch_shapes=[pltpu.VMEM((bt, s1), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary")),
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=_VMEM_LIMIT.vmem_limit_bytes),
         interpret=interpret,
     )(lp_blank, lp_label, beta_maskadd, input_lengths, beta_virtual[:, None, :])
 
@@ -279,14 +342,14 @@ def beta_scan(lp_blank, lp_label, beta_maskadd, input_lengths, beta_virtual,
 
 
 def _grad_kernel(x_ref, denom_ref, occ_ref, cb_ref, cl_ref, lab_ref, grad_ref,
-                 *, blank_id):
-    x = x_ref[0].astype(jnp.float32)          # [TT, S1, V]
-    s1, v = x.shape[1], x.shape[2]
+                 *, blank_id, vt):
+    jv = pl.program_id(2)
+    x = x_ref[0].astype(jnp.float32)          # [TT, S1, VT]
     p = jnp.exp(x + denom_ref[0][..., None])
 
-    v_idx = jax.lax.broadcasted_iota(jnp.int32, (s1, v), 1)
-    blank_mask = (v_idx == blank_id)[None]                     # [1, S1, V]
-    label_mask = (v_idx == lab_ref[0, 0][:, None])[None]
+    v_global = jv * vt + jax.lax.broadcasted_iota(jnp.int32, x.shape, 2)
+    blank_mask = v_global == blank_id
+    label_mask = v_global == lab_ref[0, 0][None, :, None]
 
     coef = (occ_ref[0][..., None]
             - jnp.where(blank_mask, cb_ref[0][..., None], 0.0)
@@ -297,23 +360,31 @@ def _grad_kernel(x_ref, denom_ref, occ_ref, cb_ref, cl_ref, lab_ref, grad_ref,
 
 
 def grad_pass(logits, denom, occ, cb, cl, labels_ext, blank_id: int,
-              out_dtype=jnp.float32, interpret: bool = False):
-    """Fused dL/dz: one read of logits, one write of grads."""
+              out_dtype=jnp.float32, interpret: bool = False, tiles=None):
+    """Fused dL/dz: one read of logits, one write of grads.
+
+    Elementwise in V given the per-cell coefficients, so the V axis tiles
+    freely (large-vocab regime); overhanging lanes in the last V-block write
+    garbage that the out_shape clips.
+    """
     batch, t_max, s1, v = logits.shape
-    tt = pick_time_tile(t_max, s1, v, n_bufs=4)
-    grid = (batch, pl.cdiv(t_max, tt))
-    big_spec = pl.BlockSpec((1, tt, s1, v), lambda b, j: (b, j, 0, 0),
+    tt, vt = tiles or pick_tv_tiles(t_max, s1, v, n_bufs=2)
+    grid = (batch, pl.cdiv(t_max, tt), pl.cdiv(v, vt))
+    big_spec = pl.BlockSpec((1, tt, s1, vt), lambda b, j, jv: (b, j, 0, jv),
                             memory_space=pltpu.VMEM)
-    small_spec = pl.BlockSpec((1, tt, s1), lambda b, j: (b, j, 0),
+    small_spec = pl.BlockSpec((1, tt, s1), lambda b, j, jv: (b, j, 0),
                               memory_space=pltpu.VMEM)
-    lab_spec = pl.BlockSpec((1, 1, s1), lambda b, j: (b, 0, 0),
+    lab_spec = pl.BlockSpec((1, 1, s1), lambda b, j, jv: (b, 0, 0),
                             memory_space=pltpu.VMEM)
     return pl.pallas_call(
-        functools.partial(_grad_kernel, blank_id=blank_id),
+        functools.partial(_grad_kernel, blank_id=blank_id, vt=vt),
         grid=grid,
         in_specs=[big_spec, small_spec, small_spec, small_spec, small_spec,
                   lab_spec],
         out_specs=big_spec,
         out_shape=jax.ShapeDtypeStruct((batch, t_max, s1, v), out_dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel"),
+            vmem_limit_bytes=_VMEM_LIMIT.vmem_limit_bytes),
         interpret=interpret,
     )(logits, denom, occ, cb, cl, labels_ext[:, None, :])

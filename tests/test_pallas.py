@@ -91,3 +91,53 @@ def test_pallas_no_inf_nan():
     costs, grads = rnnt_loss_pallas(logits, labels, ilen, slen, interpret=True)
     assert np.isfinite(np.asarray(costs)).all()
     assert np.isfinite(np.asarray(grads)).all()
+
+
+def test_pallas_vocab_tiled_stats_and_grad():
+    # Force the multi-V-block path (online logsumexp + tiled grad) on a
+    # small lattice: VT=128 over V=300 gives 3 V-blocks with an overhanging
+    # last block (lane masking exercised). Compare against the single-call
+    # oracle.
+    from monotonic_rnnt_tpu.ops.pallas import kernels as K
+    from monotonic_rnnt_tpu.ops.reference import compute_stats
+
+    rng = np.random.RandomState(9)
+    B, T, S, V = 2, 8, 4, 300
+    logits = jnp.asarray(rng.randn(B, T, S + 1, V).astype(np.float32) * 3)
+    labels = jnp.asarray(rng.randint(1, V, size=(B, S)).astype(np.int32))
+    slen = jnp.asarray(np.array([S, S - 1], np.int32))
+
+    lab_ext = jnp.concatenate(
+        [labels, jnp.zeros((B, 1), jnp.int32)], axis=1)
+    s_idx = jnp.arange(S + 1, dtype=jnp.int32)[None, :]
+    lab_ext = jnp.where(s_idx < slen[:, None], lab_ext, -1)
+
+    denom, lpb, lpl = K.softmax_stats(logits, lab_ext, 0, interpret=True,
+                                      tiles=(8, 128))
+    ref = compute_stats(logits, labels, slen, 0)
+    np.testing.assert_allclose(np.asarray(denom), np.asarray(ref.denom),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(lpb), np.asarray(ref.lp_blank),
+                               rtol=1e-5, atol=1e-5)
+    # lp_label only meaningful where s < S_b (oracle masks to -inf there).
+    valid = np.asarray(s_idx < slen[:, None])[:, None, :] * np.ones(
+        (B, T, S + 1), bool)
+    np.testing.assert_allclose(np.where(valid, np.asarray(lpl), 0),
+                               np.where(valid, np.asarray(ref.lp_label), 0),
+                               rtol=1e-5, atol=1e-5)
+
+    # Grad kernel with the same forced tiling, via the public pipeline parts.
+    from monotonic_rnnt_tpu.ops.reference import rnnt_loss_reference as ref_fn
+    ilen = jnp.full((B,), T, jnp.int32)
+    c_ref, g_ref = ref_fn(logits, labels, ilen, slen)
+    from monotonic_rnnt_tpu.ops.bands import default_bands, lattice_masks
+    from monotonic_rnnt_tpu.ops.reference import (forward_backward,
+                                                  occupancy_coefficients)
+    bands = default_bands(ilen, slen, T)
+    masks = lattice_masks(ilen, slen, bands, T, S + 1)
+    alphas, betas, ll_fwd, _ = forward_backward(ref, masks, ilen, slen)
+    occ, cb, cl = occupancy_coefficients(alphas, betas, ll_fwd, ilen, slen)
+    grads = K.grad_pass(logits, ref.denom, occ, cb, cl, lab_ext, 0,
+                        interpret=True, tiles=(8, 128))
+    np.testing.assert_allclose(np.asarray(grads), np.asarray(g_ref),
+                               rtol=1e-4, atol=1e-5)
