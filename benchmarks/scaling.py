@@ -23,7 +23,7 @@ def bench_mesh(n_devices: int, per_device_batch: int = 8,
                t: int = 200, s: int = 50, v: int = 1000, iters: int = 10):
     import jax
     import jax.numpy as jnp
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from jax.sharding import PartitionSpec as P
     from functools import partial
     from monotonic_rnnt_tpu.parallel import make_mesh, DATA_AXIS

@@ -113,3 +113,78 @@ class MonotonicTransducer(nn.Module):
                 jnp.zeros((batch,), jnp.int32))
         (hyp, n_hyp), _ = jax.lax.scan(step, init, jnp.arange(t_out))
         return hyp, n_hyp
+
+    def beam_search_decode(self, feats, feat_lengths, max_labels: int,
+                           beam_size: int, deterministic: bool = True):
+        """Frame-synchronous beam search.
+
+        Monotonic RNN-T emits exactly one decision per frame, so the beam
+        advances in lockstep over t: each live hypothesis expands into V
+        candidates (blank keeps the hypothesis, a label appends), and the
+        top beam_size by path score survive. Duplicate label sequences
+        reached via different emission timings are kept as distinct
+        hypotheses (no path merging), so the score is a single best path's
+        log-probability — the beam analogue of viterbi_alignment, not of the
+        marginal loss.
+
+        Returns (tokens [B, beam, max_labels], lengths [B, beam],
+        scores [B, beam] log-probs), beams sorted best-first; beam_size=1
+        reproduces greedy_decode.
+        """
+        from ..ops.helpers import NEG_INF
+
+        enc, enc_lengths = self.encoder(feats, feat_lengths, deterministic)
+        batch, t_out, enc_dim = enc.shape
+        beam, cap = beam_size, max_labels
+        vocab = self.cfg.vocab_size
+        blank = self.cfg.blank_id
+        assert vocab >= beam, "beam_size must not exceed the vocabulary"
+
+        v_idx = jnp.arange(vocab, dtype=jnp.int32)
+        frozen_logp = jnp.where(v_idx == blank, 0.0,
+                                NEG_INF).astype(jnp.float32)
+
+        def step(carry, t):
+            tokens, n_hyp, score = carry   # [B,K,L], [B,K], [B,K]
+            flat = tokens.reshape(batch * beam, cap)
+            pred = self.predictor(flat, deterministic)  # [B*K, L+1, D]
+            ctx = jnp.take_along_axis(
+                pred, jnp.minimum(n_hyp.reshape(-1), cap)[:, None, None],
+                axis=1)                                  # [B*K, 1, D]
+            enc_t = jax.lax.dynamic_slice_in_dim(enc, t, 1, axis=1)
+            enc_bk = jnp.broadcast_to(
+                enc_t[:, None], (batch, beam, 1, enc_dim)).reshape(
+                    batch * beam, 1, enc_dim)
+            logits = self.joint(enc_bk, ctx)[:, 0, 0, :]  # [B*K, V]
+            logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+            logp = logp.reshape(batch, beam, vocab)
+            active = (t < enc_lengths)[:, None, None]
+            logp = jnp.where(active, logp, frozen_logp[None, None, :])
+
+            cand = score[:, :, None] + logp              # [B,K,V]
+            full = (n_hyp >= cap)[:, :, None] & (v_idx != blank)[None, None]
+            cand = jnp.where(full, NEG_INF, cand)
+            top_scores, top_idx = jax.lax.top_k(
+                cand.reshape(batch, beam * vocab), beam)
+            parent = top_idx // vocab                    # [B,K]
+            tok = (top_idx % vocab).astype(jnp.int32)
+
+            par_tokens = jnp.take_along_axis(tokens, parent[:, :, None],
+                                             axis=1)
+            par_n = jnp.take_along_axis(n_hyp, parent, axis=1)
+            emit = tok != blank
+            slot = jnp.arange(cap, dtype=jnp.int32)[None, None, :]
+            new_tokens = jnp.where(
+                emit[:, :, None] & (slot == par_n[:, :, None]),
+                tok[:, :, None], par_tokens)
+            new_n = par_n + emit.astype(jnp.int32)
+            return (new_tokens, new_n, top_scores), None
+
+        init = (jnp.zeros((batch, beam, cap), jnp.int32),
+                jnp.zeros((batch, beam), jnp.int32),
+                jnp.where(jnp.arange(beam)[None, :] == 0, 0.0,
+                          NEG_INF).astype(jnp.float32)
+                * jnp.ones((batch, 1), jnp.float32))
+        (tokens, n_hyp, score), _ = jax.lax.scan(step, init,
+                                                 jnp.arange(t_out))
+        return tokens, n_hyp, score

@@ -59,6 +59,23 @@ def round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def _vma(*arrays):
+    """Union of the operands' varying-mesh-axes sets.
+
+    Inside shard_map (check_vma=True, the default) pallas_call out_shapes
+    must declare how outputs vary across mesh axes; kernel outputs vary
+    exactly as their operands do (everything here is batch-local).
+    """
+    out = frozenset()
+    for a in arrays:
+        out |= getattr(jax.typeof(a), "vma", None) or frozenset()
+    return out
+
+
+def _struct(shape, dtype, vma):
+    return jax.ShapeDtypeStruct(shape, dtype, vma=vma)
+
+
 def pick_tv_tiles(t_max: int, s1: int, v: int, n_bufs: int):
     """(TT, VT) for the V-carrying kernels under the VMEM budget.
 
@@ -171,7 +188,8 @@ def softmax_stats(logits: jnp.ndarray, labels_ext: jnp.ndarray, blank_id: int,
     tt, vt = tiles or pick_tv_tiles(t_max, s1, v, n_bufs=1)
     grid = (batch, pl.cdiv(t_max, tt), pl.cdiv(v, vt))
 
-    small = jax.ShapeDtypeStruct((batch, t_max, s1), jnp.float32)
+    small = _struct((batch, t_max, s1), jnp.float32,
+                    _vma(logits, labels_ext))
     small_spec = pl.BlockSpec((1, tt, s1), lambda b, j, jv: (b, j, 0),
                               memory_space=pltpu.VMEM)
     return pl.pallas_call(
@@ -298,7 +316,8 @@ def alpha_scan(lp_blank, lp_label, alpha_maskadd, interpret: bool = False):
         grid=grid,
         in_specs=[spec, spec, spec],
         out_specs=spec,
-        out_shape=jax.ShapeDtypeStruct((batch, t_max, s1), jnp.float32),
+        out_shape=_struct((batch, t_max, s1), jnp.float32,
+                          _vma(lp_blank, lp_label, alpha_maskadd)),
         scratch_shapes=[pltpu.VMEM((bt, s1), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
@@ -327,7 +346,9 @@ def beta_scan(lp_blank, lp_label, beta_maskadd, input_lengths, beta_virtual,
         grid=grid,
         in_specs=[spec, spec, spec, ilen_spec, bvirt_spec],
         out_specs=spec,
-        out_shape=jax.ShapeDtypeStruct((batch, t_max, s1), jnp.float32),
+        out_shape=_struct((batch, t_max, s1), jnp.float32,
+                          _vma(lp_blank, lp_label, beta_maskadd,
+                               input_lengths)),
         scratch_shapes=[pltpu.VMEM((bt, s1), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
@@ -382,7 +403,8 @@ def grad_pass(logits, denom, occ, cb, cl, labels_ext, blank_id: int,
         in_specs=[big_spec, small_spec, small_spec, small_spec, small_spec,
                   lab_spec],
         out_specs=big_spec,
-        out_shape=jax.ShapeDtypeStruct((batch, t_max, s1, v), out_dtype),
+        out_shape=_struct((batch, t_max, s1, v), out_dtype,
+                          _vma(logits, denom, occ)),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel"),
             vmem_limit_bytes=_VMEM_LIMIT.vmem_limit_bytes),

@@ -85,3 +85,43 @@ def test_synthetic_bucketing():
         assert np.all(slen <= labels.shape[1])
         # bucketing keeps padding waste bounded by the bucket geometry
         assert np.all(slen >= 1)
+
+
+def test_beam_search_beam1_equals_greedy():
+    cfg = _tiny_cfg()
+    model = MonotonicTransducer(cfg)
+    feats, flen, labels, slen = (jnp.asarray(a) for a in tiny_batch(
+        batch=3, t=24, feat_dim=16, s=4, vocab=32))
+    params = model.init(jax.random.PRNGKey(0), feats, flen, labels, slen)
+
+    g_hyp, g_n = jax.jit(lambda p, f, l: model.apply(
+        p, f, l, 6, method=MonotonicTransducer.greedy_decode))(
+            params, feats, flen)
+    b_tok, b_n, b_score = jax.jit(lambda p, f, l: model.apply(
+        p, f, l, 6, 1, method=MonotonicTransducer.beam_search_decode))(
+            params, feats, flen)
+    np.testing.assert_array_equal(np.asarray(b_tok[:, 0]), np.asarray(g_hyp))
+    np.testing.assert_array_equal(np.asarray(b_n[:, 0]), np.asarray(g_n))
+    assert np.all(np.isfinite(np.asarray(b_score[:, 0])))
+
+
+def test_beam_search_wider_beam_never_worse():
+    cfg = _tiny_cfg()
+    model = MonotonicTransducer(cfg)
+    feats, flen, labels, slen = (jnp.asarray(a) for a in tiny_batch(
+        batch=3, t=24, feat_dim=16, s=4, vocab=32))
+    params = model.init(jax.random.PRNGKey(1), feats, flen, labels, slen)
+
+    def decode(k):
+        return jax.jit(lambda p, f, l: model.apply(
+            p, f, l, 6, k, method=MonotonicTransducer.beam_search_decode))(
+                params, feats, flen)
+
+    _, _, s1 = decode(1)
+    tok4, n4, s4 = decode(4)
+    # The best path found by a wider beam is at least as probable.
+    assert np.all(np.asarray(s4[:, 0]) >= np.asarray(s1[:, 0]) - 1e-5)
+    # Beams come back sorted best-first.
+    assert np.all(np.diff(np.asarray(s4), axis=1) <= 1e-6)
+    # Lengths within capacity; tokens past the length are untouched zeros.
+    assert np.all(np.asarray(n4) <= 6)

@@ -80,3 +80,20 @@ def test_blank_on_nonzero_shard():
     from monotonic_rnnt_tpu.ops.reference import rnnt_loss_reference as ref
     ref_costs, _ = ref(logits, labels, ilen, slen, blank_id=blank)
     np.testing.assert_allclose(got, float(jnp.sum(ref_costs)), rtol=1e-5)
+
+
+def test_pallas_backend_inside_shard_map_traces():
+    # Regression: pallas_call out_shapes must declare vma so the kernels
+    # trace under shard_map with its default check_vma=True (caught
+    # originally by benchmarks/scaling.py on TPU, where the compiled run is
+    # validated). The vma check fires at trace time, so eval_shape covers it
+    # on CPU; jax's interpret-mode evaluator cannot *execute* kernels inside
+    # shard_map (its block slicing mixes manual-axes types upstream).
+    from monotonic_rnnt_tpu.utils.config import config_override
+
+    logits, labels, ilen, slen = _case(3, batch=8, t=8, s=3, v=8)
+    mesh = make_mesh(data=4, model=1)
+    with config_override(interpret=True):
+        loss_fn = make_per_sample_loss(mesh, backend="pallas")
+        out = jax.eval_shape(loss_fn, logits, labels, ilen, slen)
+    assert out.shape == (8,) and out.dtype == jnp.float32
