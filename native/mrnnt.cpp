@@ -20,6 +20,8 @@
 //
 // Build: g++ -O3 -march=native -fopenmp -shared -fPIC mrnnt.cpp -o libmrnnt.so
 
+#include "mrnnt.h"
+
 #include <algorithm>
 #include <cmath>
 #include <cstdint>
@@ -217,12 +219,6 @@ void emit_gradients(const SampleView& sv, const float* norm, const float* fwd,
 }  // namespace
 
 extern "C" {
-
-enum MrnntStatus {
-  MRNNT_OK = 0,
-  MRNNT_BAD_ARGUMENT = 1,
-  MRNNT_BAD_LENGTHS = 2,
-};
 
 const char* mrnnt_status_string(int status) {
   switch (status) {
