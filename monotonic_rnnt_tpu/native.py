@@ -12,6 +12,7 @@ from __future__ import annotations
 import ctypes
 import os
 import subprocess
+import tempfile
 import threading
 from pathlib import Path
 from typing import Optional, Tuple
@@ -20,7 +21,10 @@ import numpy as np
 
 from .utils.status import RnntError, Status
 
-_NATIVE_DIR = Path(__file__).resolve().parent.parent / "native"
+# Sources ship inside the package (native_src/), so the on-demand build works
+# from an installed wheel, not just a source checkout; the standalone CMake
+# build (native/CMakeLists.txt) compiles the same files.
+_NATIVE_DIR = Path(__file__).resolve().parent / "native_src"
 _BUILD_DIR = _NATIVE_DIR / "build"
 _LOCK = threading.Lock()
 _LIB: Optional[ctypes.CDLL] = None
@@ -28,19 +32,32 @@ _LIB: Optional[ctypes.CDLL] = None
 
 def _compile() -> Path:
     src = _NATIVE_DIR / "mrnnt.cpp"
+    hdr = _NATIVE_DIR / "mrnnt.h"
     out = _BUILD_DIR / "libmrnnt.so"
     _BUILD_DIR.mkdir(parents=True, exist_ok=True)
-    if out.exists() and out.stat().st_mtime >= src.stat().st_mtime:
+    src_mtime = max(src.stat().st_mtime, hdr.stat().st_mtime)
+    if out.exists() and out.stat().st_mtime >= src_mtime:
         return out
-    base = ["g++", "-std=c++17", "-O3", "-shared", "-fPIC",
-            str(src), "-o", str(out)]
+    # Build to a temp path and rename: concurrent importers (pytest workers,
+    # two frameworks on one host) must never dlopen a half-written .so.
+    fd, tmp = tempfile.mkstemp(suffix=".so", dir=_BUILD_DIR)
+    os.close(fd)
+    base = ["g++", f"-I{_NATIVE_DIR}", "-std=c++17", "-O3", "-shared",
+            "-fPIC", str(src), "-o", tmp]
+    last = None
     for extra in (["-fopenmp", "-march=native"], ["-fopenmp"], []):
         try:
-            subprocess.run(base[:6] + extra + base[6:], check=True,
+            subprocess.run(base[:7] + extra + base[7:], check=True,
                            capture_output=True)
+            os.replace(tmp, out)
             return out
+        except FileNotFoundError as exc:
+            os.unlink(tmp)
+            raise RnntError(Status.EXECUTION_FAILED,
+                            "native build needs g++ on PATH") from exc
         except subprocess.CalledProcessError as exc:
             last = exc
+    os.unlink(tmp)
     raise RnntError(Status.EXECUTION_FAILED,
                     f"native build failed: {last.stderr.decode()[-500:]}")
 
@@ -82,12 +99,35 @@ def rnnt_loss_native(
     labels = _i32(labels)
     ilen, slen = _i32(input_lengths), _i32(label_lengths)
     batch = len(ilen)
+
+    # Validate sizes before handing raw pointers to C (the engine trusts
+    # them; a mismatch would read/write out of bounds, not raise).
+    if acts.ndim != 2:
+        raise RnntError(Status.INVALID_VALUE,
+                        f"acts must be packed 2-D [rows, V], got {acts.shape}")
+    if len(slen) != batch:
+        raise RnntError(Status.INVALID_VALUE,
+                        "input_lengths and label_lengths disagree on batch")
+    expect_rows = int((ilen.astype(np.int64) * (slen + 1)).sum())
+    if acts.shape[0] != expect_rows:
+        raise RnntError(Status.INVALID_VALUE,
+                        f"packed acts have {acts.shape[0]} rows, lengths "
+                        f"imply {expect_rows}")
+    if labels.ndim != 2 or labels.shape[0] != batch or (
+            batch and labels.shape[1] < int(slen.max())):
+        raise RnntError(Status.INVALID_VALUE,
+                        f"labels must be [B, >=max(S_b)], got {labels.shape}")
     v = acts.shape[-1]
     costs = np.zeros((batch,), np.float32)
     grads = np.zeros_like(acts) if with_grads else None
 
     if alignment is not None:
         alignment = _i32(alignment)
+        if alignment.ndim != 2 or alignment.shape[0] != batch or (
+                batch and alignment.shape[1] < int(ilen.max())):
+            raise RnntError(Status.INVALID_VALUE,
+                            f"alignment must be [B, >=max(T_b)], got "
+                            f"{alignment.shape}")
         t_stride = alignment.shape[1]
         align_ptr = alignment.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
     else:

@@ -44,6 +44,28 @@ def log_diff_exp(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(eq, NEG_INF, out)
 
 
+def extend_labels(labels: jnp.ndarray, label_lengths: jnp.ndarray,
+                  s1: int, sentinel: int = -1) -> jnp.ndarray:
+    """[B, S_max] labels -> [B, S1] per-s-slot ids, `sentinel` where s >= S_b.
+
+    The sentinel (-1) never matches a vocabulary index, so equality masks
+    against it are exact. Single definition shared by the XLA oracle, the
+    Pallas pipeline, and the vocab-sharded path (they must not diverge).
+    """
+    batch = labels.shape[0]
+    lab = labels.astype(jnp.int32)
+    pad = jnp.full((batch, s1 - lab.shape[1]), sentinel, jnp.int32)
+    lab = jnp.concatenate([lab, pad], axis=1)
+    s_idx = jnp.arange(s1, dtype=jnp.int32)[None, :]
+    valid = s_idx < label_lengths.astype(jnp.int32)[:, None]
+    return jnp.where(valid, lab, sentinel)
+
+
+def mask_to_additive(mask: jnp.ndarray) -> jnp.ndarray:
+    """Boolean keep-mask -> additive f32 mask (0 where kept, -inf where not)."""
+    return jnp.where(mask, 0.0, NEG_INF).astype(jnp.float32)
+
+
 def shift_right_s(x: jnp.ndarray, fill: float = NEG_INF) -> jnp.ndarray:
     """Shift along the last (s) axis so out[..., s] = x[..., s-1]; out[..., 0] = fill."""
     pad = jnp.full(x.shape[:-1] + (1,), fill, dtype=x.dtype)

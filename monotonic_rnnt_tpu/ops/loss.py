@@ -127,6 +127,16 @@ def monotonic_rnnt_loss(
         else:
             bands = default_bands(input_lengths, label_lengths, t_max)
     resolved = _resolve_backend(backend)
+    if get_config().debug_time and not isinstance(logits, jax.core.Tracer):
+        from ..utils.profiling import phase_timer
+        with phase_timer(f"monotonic_rnnt_loss[{resolved}]"):
+            out = _loss_core(logits, labels,
+                             input_lengths.astype(jnp.int32),
+                             label_lengths.astype(jnp.int32),
+                             bands.min_s, bands.max_s, int(blank_id),
+                             resolved)
+            jax.block_until_ready(out)
+        return out
     return _loss_core(logits, labels,
                       input_lengths.astype(jnp.int32),
                       label_lengths.astype(jnp.int32),

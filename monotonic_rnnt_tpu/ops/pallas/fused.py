@@ -19,27 +19,11 @@ import jax
 import jax.numpy as jnp
 
 from ...utils.config import get_config
+from ...utils.debug import emit_loss_debug
 from ..bands import Bands, default_bands, lattice_masks
-from ..helpers import NEG_INF
+from ..helpers import NEG_INF, extend_labels, mask_to_additive
 from ..reference import occupancy_coefficients
-from .kernels import (alpha_scan, beta_scan, dp_tiles, grad_pass, round_up,
-                      softmax_stats)
-
-
-def _labels_ext(labels: jnp.ndarray, label_lengths: jnp.ndarray, s1: int,
-                v: int) -> jnp.ndarray:
-    """[B, S1] per-slot label ids; -1 (never matches a vocab index) when s >= S_b."""
-    batch = labels.shape[0]
-    lab = labels.astype(jnp.int32)
-    pad = jnp.zeros((batch, s1 - lab.shape[1]), jnp.int32)
-    lab = jnp.concatenate([lab, pad], axis=1)
-    s_idx = jnp.arange(s1, dtype=jnp.int32)[None, :]
-    valid = s_idx < label_lengths.astype(jnp.int32)[:, None]
-    return jnp.where(valid, jnp.clip(lab, 0, v - 1), -1)
-
-
-def _mask_to_additive(mask: jnp.ndarray) -> jnp.ndarray:
-    return jnp.where(mask, 0.0, NEG_INF).astype(jnp.float32)
+from .kernels import alpha_scan, beta_scan, dp_tiles, grad_pass, softmax_stats
 
 
 def rnnt_loss_pallas(
@@ -65,7 +49,7 @@ def rnnt_loss_pallas(
     if bands is None:
         bands = default_bands(ilen, slen, t_max)
     masks = lattice_masks(ilen, slen, bands, t_max, s1)
-    labels_ext = _labels_ext(labels, slen, s1, v)
+    labels_ext = extend_labels(labels, slen, s1)
 
     denom, lp_blank, lpl_raw = softmax_stats(logits, labels_ext, blank_id,
                                              interpret=interpret)
@@ -84,7 +68,7 @@ def rnnt_loss_pallas(
 
     lpb_p = _pad_small(lp_blank, 0.0)
     lpl_p = _pad_small(lp_label, 0.0)
-    amask_p = _pad_small(_mask_to_additive(masks.alpha), NEG_INF)
+    amask_p = _pad_small(mask_to_additive(masks.alpha), NEG_INF)
 
     alphas = alpha_scan(lpb_p, lpl_p, amask_p,
                         interpret=interpret)[:batch, :t_max]
@@ -99,20 +83,12 @@ def rnnt_loss_pallas(
     beta_virtual = jnp.where(
         jnp.arange(s1, dtype=jnp.int32)[None, :] == slen[:, None],
         0.0, NEG_INF).astype(jnp.float32)
-    bmask_p = _pad_small(_mask_to_additive(masks.beta), NEG_INF)
+    bmask_p = _pad_small(mask_to_additive(masks.beta), NEG_INF)
     ilen_p = jnp.pad(ilen, (0, b_pad - batch), constant_values=1)
     bvirt_p = jnp.pad(beta_virtual, ((0, b_pad - batch), (0, 0)),
                       constant_values=NEG_INF)
     betas = beta_scan(lpb_p, lpl_p, bmask_p, ilen_p[:, None, None], bvirt_p,
                       interpret=interpret)[:batch, :t_max]
-
-    if cfg.check_fwd_bwd:
-        ll_bwd = betas[:, 0, 0]
-        bad = jnp.abs(ll_fwd - ll_bwd) > cfg.fwd_bwd_tol
-        jax.debug.print(
-            "monotonic_rnnt: fwd/bwd mismatch on {n} samples "
-            "(max |diff| = {d})",
-            n=jnp.sum(bad), d=jnp.max(jnp.abs(ll_fwd - ll_bwd)))
 
     occ, cb, cl = occupancy_coefficients(alphas, betas, ll_fwd, ilen, slen)
     # Write grads in the logits dtype: for bf16 training this halves the
@@ -120,4 +96,5 @@ def rnnt_loss_pallas(
     # DP itself always accumulated in f32 above).
     grads = grad_pass(logits, denom, occ, cb, cl, labels_ext, blank_id,
                       out_dtype=logits.dtype, interpret=interpret)
+    emit_loss_debug(ll_fwd, betas[:, 0, 0], grads)
     return costs, grads

@@ -41,7 +41,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..helpers import NEG_INF
+from ..helpers import NEG_INF, log_sum_exp
 
 # ---------------------------------------------------------------------------
 # Tiling heuristics
@@ -138,7 +138,6 @@ def _stats_kernel(x_ref, lab_ref, denom_ref, lpb_ref, lpl_ref, m_sc, se_sc,
     jv = pl.program_id(2)
     nv = pl.num_programs(2)
     x = x_ref[0].astype(jnp.float32)          # [TT, S1, VT]
-    tt, s1 = x.shape[0], x.shape[1]
 
     # Mask lanes past the true vocab size (the last V-block may overhang).
     v_global = jv * vt + jax.lax.broadcasted_iota(jnp.int32, x.shape, 2)
@@ -233,14 +232,6 @@ def _shift_down_s(row, fill=NEG_INF):
     return jnp.where(lane == s1 - 1, fill, rolled)
 
 
-def _lse(a, b):
-    mx = jnp.maximum(a, b)
-    mn = jnp.minimum(a, b)
-    bad = mx == NEG_INF
-    diff = jnp.where(bad, 0.0, mn - mx)
-    return jnp.where(bad, NEG_INF, mx + jnp.log1p(jnp.exp(diff)))
-
-
 def _alpha_kernel(lpb_ref, lpl_ref, amask_ref, alphas_ref, carry):
     j = pl.program_id(1)
     bt, tt, s1 = alphas_ref.shape
@@ -256,7 +247,7 @@ def _alpha_kernel(lpb_ref, lpl_ref, amask_ref, alphas_ref, carry):
         lpl = lpl_ref[:, i, :]
         no_emit = prev + lpb
         emit = _shift_up_s(prev + lpl)
-        new = _lse(no_emit, emit) + amask_ref[:, i, :]
+        new = log_sum_exp(no_emit, emit) + amask_ref[:, i, :]
         carry[...] = new
         alphas_ref[:, i, :] = new
         return 0
@@ -285,7 +276,7 @@ def _beta_kernel(lpb_ref, lpl_ref, bmask_ref, ilen_ref, bvirt_ref, betas_ref,
         lpl = lpl_ref[:, ti, :]
         no_emit = nxt + lpb
         emit = _shift_down_s(nxt) + lpl
-        new = _lse(no_emit, emit) + bmask_ref[:, ti, :]
+        new = log_sum_exp(no_emit, emit) + bmask_ref[:, ti, :]
         carry[...] = new
         betas_ref[:, ti, :] = new
         return 0

@@ -34,7 +34,8 @@ import jax
 import jax.numpy as jnp
 
 from .bands import Bands, LatticeMasks, default_bands, lattice_masks
-from .helpers import NEG_INF, log_sum_exp, shift_left_s, shift_right_s
+from .helpers import (NEG_INF, extend_labels, log_sum_exp, mask_to_additive,
+                      shift_left_s, shift_right_s)
 
 
 class LatticeStats(NamedTuple):
@@ -57,22 +58,13 @@ def compute_stats(logits: jnp.ndarray, labels: jnp.ndarray,
     denom = -jax.nn.logsumexp(x, axis=-1)
     lp_blank = x[..., blank_id] + denom
 
-    batch, _, s1, _ = x.shape
-    v = x.shape[-1]
-    # labels: [B, S_max] -> extend to S1 slots; out-of-range slots never match.
-    lab = labels.astype(jnp.int32)
-    lab_ext = jnp.concatenate(
-        [lab, jnp.zeros((batch, s1 - lab.shape[1]), jnp.int32)], axis=1)
-    lab_ext = jnp.clip(lab_ext, 0, v - 1)
-    gathered = jnp.take_along_axis(x, lab_ext[:, None, :, None], axis=-1)[..., 0]
-    s_idx = jnp.arange(s1, dtype=jnp.int32)[None, None, :]
-    valid_s = s_idx < label_lengths.astype(jnp.int32)[:, None, None]
-    lp_label = jnp.where(valid_s, gathered + denom, NEG_INF)
+    s1, v = x.shape[2], x.shape[-1]
+    lab_ext = extend_labels(labels, label_lengths, s1)
+    gathered = jnp.take_along_axis(
+        x, jnp.clip(lab_ext, 0, v - 1)[:, None, :, None], axis=-1)[..., 0]
+    lp_label = jnp.where((lab_ext >= 0)[:, None, :], gathered + denom,
+                         NEG_INF)
     return LatticeStats(denom=denom, lp_blank=lp_blank, lp_label=lp_label)
-
-
-def _mask_to_additive(mask: jnp.ndarray) -> jnp.ndarray:
-    return jnp.where(mask, 0.0, NEG_INF).astype(jnp.float32)
 
 
 def forward_backward(stats: LatticeStats, masks: LatticeMasks,
@@ -86,7 +78,7 @@ def forward_backward(stats: LatticeStats, masks: LatticeMasks,
     """
     lpb = jnp.transpose(stats.lp_blank, (1, 0, 2))  # [T, B, S1]
     lpl = jnp.transpose(stats.lp_label, (1, 0, 2))
-    amask = jnp.transpose(_mask_to_additive(masks.alpha), (1, 0, 2))
+    amask = jnp.transpose(mask_to_additive(masks.alpha), (1, 0, 2))
 
     batch, s1 = stats.lp_blank.shape[0], stats.lp_blank.shape[2]
     t_max = stats.lp_blank.shape[1]
@@ -120,7 +112,7 @@ def forward_backward(stats: LatticeStats, masks: LatticeMasks,
     if not compute_betas:
         return alphas, None, ll_fwd, None
 
-    bmask = jnp.transpose(_mask_to_additive(masks.beta), (1, 0, 2))
+    bmask = jnp.transpose(mask_to_additive(masks.beta), (1, 0, 2))
     t_rev = jnp.arange(t_max - 1, -1, -1, dtype=jnp.int32)
 
     def beta_step(carry, xs):
@@ -196,12 +188,7 @@ def gradients_from_coefficients(logits: jnp.ndarray, denom: jnp.ndarray,
     batch, t_max, s1, v = logits.shape
     p = jnp.exp(logits.astype(jnp.float32) + denom[..., None])
 
-    lab = labels.astype(jnp.int32)
-    pad = jnp.full((batch, s1 - lab.shape[1]), -1, jnp.int32)
-    lab_ext = jnp.concatenate([lab, pad], axis=1)
-    s_idx = jnp.arange(s1, dtype=jnp.int32)[None, :]
-    lab_ext = jnp.where(s_idx < label_lengths.astype(jnp.int32)[:, None],
-                        lab_ext, -1)  # never matches a vocab index
+    lab_ext = extend_labels(labels, label_lengths, s1)
 
     v_idx = jnp.arange(v, dtype=jnp.int32) + v_offset
     blank_mask = (v_idx == blank_id)[None, None, None, :]
@@ -240,7 +227,7 @@ def rnnt_loss_reference(
     masks = lattice_masks(input_lengths, label_lengths, bands, t_max, s1)
     stats = compute_stats(logits, labels, label_lengths, blank_id)
 
-    alphas, betas, ll_fwd, _ = forward_backward(
+    alphas, betas, ll_fwd, ll_bwd = forward_backward(
         stats, masks, input_lengths, label_lengths, compute_betas=with_grads)
     costs = -ll_fwd
     if not with_grads:
@@ -250,4 +237,6 @@ def rnnt_loss_reference(
         alphas, betas, ll_fwd, input_lengths, label_lengths)
     grads = gradients_from_coefficients(
         logits, stats.denom, labels, label_lengths, occ, cb, cl, blank_id)
+    from ..utils.debug import emit_loss_debug
+    emit_loss_debug(ll_fwd, ll_bwd, grads)
     return costs, grads

@@ -69,7 +69,13 @@ def initialize_multihost(coordinator_address: Optional[str] = None,
 
 
 def local_batch_slice(global_batch: int, mesh: Mesh) -> Tuple[int, int]:
-    """(start, size) of this process's batch shard along the data axis."""
+    """(start, size) of this process's batch shard along the data axis.
+
+    When there are more processes than data shards (e.g. vocab sharding
+    across hosts with data=1), the shard owner is the process whose id
+    matches the shard; the others feed the same replicated slice — every
+    process must see identical data for a replicated axis.
+    """
     n_data = mesh.shape[DATA_AXIS]
     if global_batch % n_data:
         raise ValueError(f"global batch {global_batch} not divisible by "
@@ -77,5 +83,11 @@ def local_batch_slice(global_batch: int, mesh: Mesh) -> Tuple[int, int]:
     per = global_batch // n_data
     idx = jax.process_index()
     procs = max(1, jax.process_count())
-    shards_per_proc = max(1, n_data // procs)
+    if procs >= n_data:
+        # >= 1 process per shard: processes sharing a shard get the same
+        # slice (procs_per_shard of them each feed identical data).
+        procs_per_shard = procs // n_data
+        shard = min(idx // max(1, procs_per_shard), n_data - 1)
+        return shard * per, per
+    shards_per_proc = n_data // procs
     return idx * shards_per_proc * per, shards_per_proc * per

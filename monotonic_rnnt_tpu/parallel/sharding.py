@@ -26,20 +26,13 @@ from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..ops.bands import Bands, default_bands, lattice_masks
-from ..ops.helpers import NEG_INF
+from ..ops.helpers import NEG_INF, extend_labels
 from ..ops.reference import (LatticeStats, forward_backward,
                              gradients_from_coefficients,
                              occupancy_coefficients)
 from .mesh import DATA_AXIS, MODEL_AXIS
 
 
-def _labels_ext(labels, label_lengths, s1):
-    batch = labels.shape[0]
-    lab = labels.astype(jnp.int32)
-    pad = jnp.full((batch, s1 - lab.shape[1]), -1, jnp.int32)
-    lab = jnp.concatenate([lab, pad], axis=1)
-    s_idx = jnp.arange(s1, dtype=jnp.int32)[None, :]
-    return jnp.where(s_idx < label_lengths.astype(jnp.int32)[:, None], lab, -1)
 
 
 def _sharded_stats(x_local, labels_ext, blank_id, axis_name):
@@ -94,7 +87,7 @@ def _vocab_sharded_impl(logits_local, labels, input_lengths, label_lengths,
     batch, t_max, s1, _ = x.shape
     ilen = input_lengths.astype(jnp.int32)
     slen = label_lengths.astype(jnp.int32)
-    labels_ext = _labels_ext(labels, slen, s1)
+    labels_ext = extend_labels(labels, slen, s1)
 
     denom, lp_blank, lp_label, v_offset = _sharded_stats(
         x, labels_ext, blank_id, axis_name)

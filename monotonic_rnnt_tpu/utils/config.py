@@ -30,8 +30,10 @@ class Config:
       kernels on TPU and the pure-XLA reference path elsewhere.
     interpret: run Pallas kernels in interpreter mode (the reference's
       USE_NAIVE_KERNEL debugging fallback, gpu_rnnt.h:98-103).
-    debug_time / debug_fwdbwd / debug_grads: enable phase timing and tensor
-      dumps (reference DEBUG_TIME / DEBUG_FWDBWD / DEBUG_GRADS macros).
+    debug_time: wall-clock each eager (non-traced) loss call (reference
+      DEBUG_TIME); under jit use utils.profiling.device_trace instead.
+    debug_fwdbwd / debug_grads: per-call log-likelihood prints and gradient
+      summaries via jax.debug.print (reference DEBUG_FWDBWD / DEBUG_GRADS).
     check_fwd_bwd: warn when |ll_fwd - ll_bwd| > fwd_bwd_tol, the reference's
       only runtime self-check (cpu_rnnt.h:256-259).
     """

@@ -19,7 +19,80 @@ from contextlib import contextmanager
 import jax.numpy as jnp
 import numpy as np
 
-from .config import config_override
+from .config import config_override, get_config
+
+
+_CALLBACKS_OK = None
+
+
+def _callbacks_supported() -> bool:
+    """Probe once whether the runtime executes host callbacks.
+
+    jax.debug.print rides host send/recv callbacks, which some tunneled TPU
+    runtimes do not implement; the debug flags then degrade to a one-time
+    warning instead of crashing the training step.
+    """
+    global _CALLBACKS_OK
+    if _CALLBACKS_OK is None:
+        import jax
+
+        try:
+            # ensure_compile_time_eval escapes any active trace: the probe
+            # must genuinely execute now, not be staged into the caller's
+            # jaxpr (a staged probe "succeeds" without testing anything).
+            with jax.ensure_compile_time_eval():
+                out = jax.jit(lambda x: jax.debug.callback(
+                    lambda *_: None, x) or x + 1)(0)
+                jax.block_until_ready(out)
+            _CALLBACKS_OK = True
+        except Exception:
+            _CALLBACKS_OK = False
+            import warnings
+
+            warnings.warn(
+                "monotonic_rnnt_tpu: this runtime does not support host "
+                "callbacks; debug_fwdbwd/debug_grads/check_fwd_bwd output "
+                "is disabled")
+    return _CALLBACKS_OK
+
+
+def emit_loss_debug(ll_fwd, ll_bwd=None, grads=None) -> None:
+    """Runtime debug hooks consumed by both loss backends (jit-safe).
+
+    Driven by the config flags (the reference's DEBUG_FWDBWD / DEBUG_GRADS
+    macros and its fwd/bwd consistency check, cpu_rnnt.h:256-259):
+      debug_fwdbwd  — print per-sample forward/backward log-likelihoods;
+      check_fwd_bwd — warn (only) when |ll_fwd - ll_bwd| > fwd_bwd_tol;
+      debug_grads   — print gradient summary statistics.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    cfg = get_config()
+    if ((cfg.debug_fwdbwd or cfg.check_fwd_bwd or cfg.debug_grads)
+            and not _callbacks_supported()):
+        return
+    if ll_bwd is not None and cfg.debug_fwdbwd:
+        jax.debug.print("mrnnt fwdbwd: ll_fwd={f} ll_bwd={b}",
+                        f=ll_fwd, b=ll_bwd)
+    if ll_bwd is not None and cfg.check_fwd_bwd:
+        diff = jnp.abs(ll_fwd - ll_bwd)
+        bad = diff > cfg.fwd_bwd_tol
+
+        def _warn(op):
+            n, m = op
+            jax.debug.print(
+                "monotonic_rnnt: fwd/bwd mismatch on {n} samples "
+                "(max |diff| = {m})", n=n, m=m)
+
+        jax.lax.cond(jnp.any(bad), _warn, lambda op: None,
+                     (jnp.sum(bad), jnp.max(diff)))
+    if grads is not None and cfg.debug_grads:
+        g = grads.astype(jnp.float32)
+        jax.debug.print(
+            "mrnnt grads: min={mn} max={mx} l2={l2}",
+            mn=jnp.min(g), mx=jnp.max(g),
+            l2=jnp.sqrt(jnp.sum(g * g)))
 
 
 @contextmanager
