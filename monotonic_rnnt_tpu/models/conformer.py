@@ -108,6 +108,19 @@ class ConvSubsampler(nn.Module):
         return nn.Dense(cfg.dim, dtype=cfg.dtype)(x)
 
 
+def sinusoidal_positions(t: int, dim: int) -> jnp.ndarray:
+    """[t, dim] fixed sinusoidal position encodings (f32)."""
+    pos = jnp.arange(t, dtype=jnp.float32)[:, None]
+    half = dim // 2
+    inv_freq = jnp.exp(-jnp.log(10000.0)
+                       * jnp.arange(half, dtype=jnp.float32) / half)
+    angles = pos * inv_freq[None, :]
+    pe = jnp.concatenate([jnp.sin(angles), jnp.cos(angles)], axis=-1)
+    if pe.shape[-1] < dim:                     # odd dim
+        pe = jnp.pad(pe, ((0, 0), (0, dim - pe.shape[-1])))
+    return pe
+
+
 class ConformerEncoder(nn.Module):
     """feats [B, T, F] + frame lengths -> (encodings [B, T', D], lengths')."""
 
@@ -117,6 +130,9 @@ class ConformerEncoder(nn.Module):
     def __call__(self, feats, feat_lengths, deterministic: bool = True):
         cfg = self.cfg
         x = ConvSubsampler(cfg)(feats)
+        # Inject position: self-attention is otherwise permutation-invariant
+        # (the conv modules alone give only short-range order).
+        x = x + sinusoidal_positions(x.shape[1], cfg.dim).astype(x.dtype)
         out_lengths = feat_lengths
         for _ in range(2):  # two stride-2 convs with VALID-ish length math
             out_lengths = (out_lengths - 1) // 2 + 1
