@@ -48,10 +48,10 @@ def main():
 
     def loss_body(i, carry):
         x, acc = carry
-        x = x.at[:, 0, 0, 0].add(acc * 1e-20)
+        x = x.at[:, 0, 0, 0].add((acc * 1e-20).astype(x.dtype))
         c, g = rnnt_loss_pallas(x, labels, ilen, slen) if on_tpu else \
             rnnt_loss_reference(x, labels, ilen, slen)
-        return (x, c[0] + g[0, 0, 0, 0])
+        return (x, c[0] + g[0, 0, 0, 0].astype(jnp.float32))
 
     loss_loop = jax.jit(
         lambda x: jax.lax.fori_loop(0, K, loss_body, (x, jnp.float32(0)))[1])
@@ -75,6 +75,25 @@ def main():
 
     t_loss = timed(loss_loop, logits, lambda r: r)
     t_copy = timed(copy_loop, logits, lambda r: r[0, 0, 0, :2])
+
+    # Secondary figures (not the headline): bf16 inputs and cost-only path.
+    loss16_loop = jax.jit(lambda x: jax.lax.fori_loop(
+        0, K, loss_body, (x, jnp.float32(0)))[1])
+    t_loss16 = timed(loss16_loop, logits.astype(jnp.bfloat16), lambda r: r)
+
+    def cost_body(i, carry):
+        x, acc = carry
+        x = x.at[:, 0, 0, 0].add(acc * 1e-20)
+        if on_tpu:
+            c, _ = rnnt_loss_pallas(x, labels, ilen, slen, with_grads=False)
+        else:
+            c, _ = rnnt_loss_reference(x, labels, ilen, slen,
+                                       with_grads=False)
+        return (x, c[0])
+
+    cost_loop = jax.jit(lambda x: jax.lax.fori_loop(
+        0, K, cost_body, (x, jnp.float32(0)))[1])
+    t_cost = timed(cost_loop, logits, lambda r: r)
 
     hbm_bw = 2 * nbytes / t_copy                      # measured stream rate
     sol_time = 3 * nbytes / hbm_bw                    # 2 reads + 1 write
@@ -107,6 +126,8 @@ def main():
             "roofline_fraction": round(roofline_frac, 3),
             "max_cost_err_vs_oracle": max_cost_err,
             "max_grad_err_vs_oracle": max_grad_err,
+            "bf16_iter_ms": round(t_loss16 * 1e3, 3),
+            "cost_only_iter_ms": round(t_cost * 1e3, 3),
             "backend": backend,
             "device": str(jax.devices()[0]),
         },
