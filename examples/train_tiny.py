@@ -22,6 +22,9 @@ def main(argv=None):
     p.add_argument("--steps", type=int, default=30)
     p.add_argument("--batch", type=int, default=8)
     p.add_argument("--beam", type=int, default=4)
+    p.add_argument("--overfit", action="store_true",
+                   help="repeat one batch: loss should collapse and the "
+                        "decoders should reproduce the targets")
     args = p.parse_args(argv)
 
     import jax
@@ -53,7 +56,10 @@ def main(argv=None):
         joint_dim=96, vocab_size=vocab)
 
     it = data.batches()
-    example = tuple(jnp.asarray(a) for a in next(it))
+    first_batch = next(it)
+    if args.overfit:
+        it = iter(lambda: first_batch, None)   # same batch forever
+    example = tuple(jnp.asarray(a) for a in first_batch)
     state = create_train_state(cfg, jax.random.PRNGKey(0), example,
                                learning_rate=3e-3, warmup_steps=5)
     mesh = make_mesh(data=n_dev, model=1)
