@@ -80,26 +80,36 @@ class MonotonicTransducer(nn.Module):
     def encode(self, feats, feat_lengths, deterministic: bool = True):
         return self.encoder(feats, feat_lengths, deterministic)
 
+    @staticmethod
+    def _select_state(emit, new_state, old_state):
+        """Per-sample select over a predictor-state pytree ([B*, ...] leaves)."""
+        def sel(a, b):
+            cond = emit.reshape(emit.shape + (1,) * (a.ndim - emit.ndim))
+            return jnp.where(cond, a, b)
+
+        return jax.tree.map(sel, new_state, old_state)
+
     def greedy_decode(self, feats, feat_lengths, max_labels: int,
                       deterministic: bool = True):
         """Frame-synchronous greedy decoding.
 
-        Returns (hyp_labels [B, max_labels], hyp_lengths [B]). Uses the
-        ConvPredictor-style limited context for O(T) decoding; with the LSTM
-        predictor the decoder recomputes the prediction network each step on
-        the running hypothesis (simple, correct; optimize later).
+        Returns (hyp_labels [B, max_labels], hyp_lengths [B]). The predictor
+        advances statefully — O(1) work per frame (LSTM carry / conv token
+        ring), not a re-run over the hypothesis — so decoding is O(T)
+        regardless of max_labels.
         """
         enc, enc_lengths = self.encoder(feats, feat_lengths, deterministic)
         batch, t_out, _ = enc.shape
         blank = self.cfg.blank_id
 
+        pstate = self.predictor.init_state(batch)
+        pstate, ctx = self.predictor.step(
+            pstate, jnp.zeros((batch,), jnp.int32))     # consume BOS
+
         def step(carry, t):
-            hyp, n_hyp = carry                      # [B, max_labels], [B]
-            pred = self.predictor(hyp, deterministic)  # [B, max_labels+1, D]
-            ctx = jnp.take_along_axis(
-                pred, jnp.minimum(n_hyp, max_labels)[:, None, None], axis=1)
+            hyp, n_hyp, pstate, ctx = carry
             enc_t = jax.lax.dynamic_slice_in_dim(enc, t, 1, axis=1)
-            logit = self.joint(enc_t, ctx)[:, 0, 0, :]               # [B, V]
+            logit = self.joint(enc_t, ctx[:, None, :])[:, 0, 0, :]   # [B, V]
             tok = jnp.argmax(logit, axis=-1).astype(jnp.int32)
             emit = (tok != blank) & (t < enc_lengths) & (n_hyp < max_labels)
             hyp = jnp.where(
@@ -107,11 +117,14 @@ class MonotonicTransducer(nn.Module):
                                  == n_hyp[:, None]),
                 tok[:, None], hyp)
             n_hyp = n_hyp + emit.astype(jnp.int32)
-            return (hyp, n_hyp), None
+            new_pstate, new_ctx = self.predictor.step(pstate, tok)
+            pstate_next = self._select_state(emit, new_pstate, pstate)
+            ctx_next = jnp.where(emit[:, None], new_ctx, ctx)
+            return (hyp, n_hyp, pstate_next, ctx_next), None
 
         init = (jnp.zeros((batch, max_labels), jnp.int32),
-                jnp.zeros((batch,), jnp.int32))
-        (hyp, n_hyp), _ = jax.lax.scan(step, init, jnp.arange(t_out))
+                jnp.zeros((batch,), jnp.int32), pstate, ctx)
+        (hyp, n_hyp, _, _), _ = jax.lax.scan(step, init, jnp.arange(t_out))
         return hyp, n_hyp
 
     def beam_search_decode(self, feats, feat_lengths, max_labels: int,
@@ -144,18 +157,26 @@ class MonotonicTransducer(nn.Module):
         frozen_logp = jnp.where(v_idx == blank, 0.0,
                                 NEG_INF).astype(jnp.float32)
 
+        # Per-hypothesis predictor state, flattened to [B*K, ...] leaves.
+        pstate = self.predictor.init_state(batch * beam)
+        pstate, ctx = self.predictor.step(
+            pstate, jnp.zeros((batch * beam,), jnp.int32))   # consume BOS
+
+        def gather_parents(x, parent):
+            """Reorder [B*K, ...] leaves by the beam's parent indices."""
+            xk = x.reshape(batch, beam, *x.shape[1:])
+            idx = parent.reshape(batch, beam,
+                                 *([1] * (x.ndim - 1)))
+            out = jnp.take_along_axis(xk, idx, axis=1)
+            return out.reshape(batch * beam, *x.shape[1:])
+
         def step(carry, t):
-            tokens, n_hyp, score = carry   # [B,K,L], [B,K], [B,K]
-            flat = tokens.reshape(batch * beam, cap)
-            pred = self.predictor(flat, deterministic)  # [B*K, L+1, D]
-            ctx = jnp.take_along_axis(
-                pred, jnp.minimum(n_hyp.reshape(-1), cap)[:, None, None],
-                axis=1)                                  # [B*K, 1, D]
+            tokens, n_hyp, score, pstate, ctx = carry
             enc_t = jax.lax.dynamic_slice_in_dim(enc, t, 1, axis=1)
             enc_bk = jnp.broadcast_to(
                 enc_t[:, None], (batch, beam, 1, enc_dim)).reshape(
                     batch * beam, 1, enc_dim)
-            logits = self.joint(enc_bk, ctx)[:, 0, 0, :]  # [B*K, V]
+            logits = self.joint(enc_bk, ctx[:, None, :])[:, 0, 0, :]
             logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
             logp = logp.reshape(batch, beam, vocab)
             active = (t < enc_lengths)[:, None, None]
@@ -178,13 +199,25 @@ class MonotonicTransducer(nn.Module):
                 emit[:, :, None] & (slot == par_n[:, :, None]),
                 tok[:, :, None], par_tokens)
             new_n = par_n + emit.astype(jnp.int32)
-            return (new_tokens, new_n, top_scores), None
+
+            # Reorder predictor state by parent, then advance where emitted.
+            par_state = jax.tree.map(lambda x: gather_parents(x, parent),
+                                     pstate)
+            par_ctx = gather_parents(ctx, parent)
+            stepped, stepped_ctx = self.predictor.step(
+                par_state, tok.reshape(batch * beam))
+            emit_flat = emit.reshape(batch * beam)
+            next_state = self._select_state(emit_flat, stepped, par_state)
+            next_ctx = jnp.where(emit_flat[:, None], stepped_ctx, par_ctx)
+            return (new_tokens, new_n, top_scores, next_state,
+                    next_ctx), None
 
         init = (jnp.zeros((batch, beam, cap), jnp.int32),
                 jnp.zeros((batch, beam), jnp.int32),
                 jnp.where(jnp.arange(beam)[None, :] == 0, 0.0,
                           NEG_INF).astype(jnp.float32)
-                * jnp.ones((batch, 1), jnp.float32))
-        (tokens, n_hyp, score), _ = jax.lax.scan(step, init,
-                                                 jnp.arange(t_out))
+                * jnp.ones((batch, 1), jnp.float32),
+                pstate, ctx)
+        (tokens, n_hyp, score, _, _), _ = jax.lax.scan(step, init,
+                                                       jnp.arange(t_out))
         return tokens, n_hyp, score

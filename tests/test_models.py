@@ -125,3 +125,66 @@ def test_beam_search_wider_beam_never_worse():
     assert np.all(np.diff(np.asarray(s4), axis=1) <= 1e-6)
     # Lengths within capacity; tokens past the length are untouched zeros.
     assert np.all(np.asarray(n4) <= 6)
+
+
+def test_checkpoint_save_restore_roundtrip(tmp_path):
+    from monotonic_rnnt_tpu.models.train import (restore_checkpoint,
+                                                 save_checkpoint)
+
+    cfg = _tiny_cfg()
+    batch = tuple(jnp.asarray(a) for a in tiny_batch(
+        batch=2, t=32, feat_dim=16, s=4, vocab=32))
+    state = create_train_state(cfg, jax.random.PRNGKey(0), batch)
+    step = jax.jit(train_step)
+    state, m1 = step(state, batch)
+    save_checkpoint(str(tmp_path / "ckpt"), state)
+
+    fresh = create_train_state(cfg, jax.random.PRNGKey(7), batch)
+    restored = restore_checkpoint(str(tmp_path / "ckpt"), fresh)
+    assert int(restored.step) == int(state.step)
+    jax.tree.map(lambda a, b: np.testing.assert_array_equal(
+        np.asarray(a), np.asarray(b)), restored.params, state.params)
+
+    # Resuming from the restored state reproduces the original trajectory.
+    s1, m_a = step(state, batch)
+    s2, m_b = step(restored, batch)
+    np.testing.assert_allclose(float(m_a["loss"]), float(m_b["loss"]),
+                               rtol=1e-6)
+
+
+def test_predictor_step_matches_batched_call():
+    # The stepwise decoding interface must reproduce the training path's
+    # context vectors exactly: ctx after consuming history[:k] == column k
+    # of the batched __call__.
+    from monotonic_rnnt_tpu.models.predictor import (ConvPredictor,
+                                                     LstmPredictor,
+                                                     PredictorConfig)
+
+    rng = np.random.RandomState(4)
+    B, S = 3, 5
+    cfg = PredictorConfig(vocab_size=16, dim=32, embed_dim=16,
+                          dtype=jnp.float32)
+    labels = jnp.asarray(rng.randint(1, 16, size=(B, S)).astype(np.int32))
+
+    for cls in (LstmPredictor, ConvPredictor):
+        model = cls(cfg)
+        params = model.init(jax.random.PRNGKey(0), labels)
+        batched = model.apply(params, labels)        # [B, S+1, D]
+
+        def stepwise(params, labels):
+            def run(mdl):
+                state = mdl.init_state(B)
+                ctxs = []
+                hist = jnp.concatenate(
+                    [jnp.zeros((B, 1), jnp.int32), labels], axis=1)
+                for k in range(S + 1):
+                    state, ctx = mdl.step(state, hist[:, k])
+                    ctxs.append(ctx)
+                return jnp.stack(ctxs, axis=1)
+            return nn.apply(run, model)(params)
+
+        import flax.linen as nn
+        got = stepwise(params, labels)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(batched),
+                                   rtol=1e-5, atol=1e-5,
+                                   err_msg=cls.__name__)
