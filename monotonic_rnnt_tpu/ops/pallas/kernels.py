@@ -212,6 +212,68 @@ def softmax_stats(logits: jnp.ndarray, labels_ext: jnp.ndarray, blank_id: int,
     )(logits, labels_ext[:, None, :])
 
 
+def _stats_partial_kernel(x_ref, m_ref, se_ref, m_sc, se_sc, *, v_total,
+                          vt):
+    """Local (m, sum-exp) softmax statistics — the vocab-sharded TP variant.
+
+    Emits pre-reduction stats so the caller can combine shards exactly:
+      m_global = pmax(m);  se_global = psum(se * exp(m - m_global));
+      denom = -(m_global + log se_global).
+    One read of the local shard (the XLA formulation needs two: a max pass
+    and a sum pass).
+    """
+    jv = pl.program_id(2)
+    nv = pl.num_programs(2)
+    x = x_ref[0].astype(jnp.float32)          # [TT, S1, VT]
+
+    v_global = jv * vt + jax.lax.broadcasted_iota(jnp.int32, x.shape, 2)
+    x = jnp.where(v_global < v_total, x, NEG_INF)
+    m_blk = jnp.max(x, axis=-1)
+
+    @pl.when(jv == 0)
+    def _():
+        m_sc[...] = m_blk
+        se_sc[...] = jnp.sum(jnp.exp(x - m_blk[..., None]), axis=-1)
+
+    @pl.when(jv > 0)
+    def _():
+        m_old = m_sc[...]
+        m_new = jnp.maximum(m_old, m_blk)
+        se_sc[...] = (se_sc[...] * jnp.exp(m_old - m_new) +
+                      jnp.sum(jnp.exp(x - m_new[..., None]), axis=-1))
+        m_sc[...] = m_new
+
+    @pl.when(jv == nv - 1)
+    def _():
+        m_ref[0] = m_sc[...]
+        se_ref[0] = se_sc[...]
+
+
+def softmax_stats_partial(logits: jnp.ndarray, interpret: bool = False,
+                          tiles=None):
+    """Per-cell (max, sum-exp) over the local vocab slice. [B,T,S1] f32 x2."""
+    batch, t_max, s1, v = logits.shape
+    tt, vt = tiles or pick_tv_tiles(t_max, s1, v, n_bufs=1)
+    grid = (batch, pl.cdiv(t_max, tt), pl.cdiv(v, vt))
+    small = _struct((batch, t_max, s1), jnp.float32, _vma(logits))
+    small_spec = pl.BlockSpec((1, tt, s1), lambda b, j, jv: (b, j, 0),
+                              memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_stats_partial_kernel, v_total=v, vt=vt),
+        grid=grid,
+        in_specs=[pl.BlockSpec((1, tt, s1, vt), lambda b, j, jv: (b, j, 0, jv),
+                               memory_space=pltpu.VMEM)],
+        out_specs=(small_spec, small_spec),
+        out_shape=(small, small),
+        scratch_shapes=[pltpu.VMEM((tt, s1), jnp.float32),
+                        pltpu.VMEM((tt, s1), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=_VMEM_LIMIT.vmem_limit_bytes),
+        interpret=interpret,
+    )(logits)
+
+
 # ---------------------------------------------------------------------------
 # Kernel 2: alpha / beta wavefront scans
 # ---------------------------------------------------------------------------

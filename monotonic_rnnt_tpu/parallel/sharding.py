@@ -35,15 +35,33 @@ from .mesh import DATA_AXIS, MODEL_AXIS
 
 
 
+def _local_max_sumexp(x_local):
+    """Pre-reduction (m, sum-exp) per lattice cell over the local V slice.
+
+    On TPU the fused Pallas kernel does this in ONE read of the shard (the
+    XLA formulation below needs a max pass and a sum pass); interpret mode
+    cannot execute kernels inside shard_map, so CPU keeps the XLA path.
+    """
+    from ..ops.loss import _resolve_backend
+
+    if _resolve_backend(None) == "pallas" and not jax.config.jax_disable_jit:
+        from ..ops.pallas.kernels import softmax_stats_partial
+
+        return softmax_stats_partial(x_local)
+    m = jnp.max(x_local, axis=-1)
+    se = jnp.sum(jnp.exp(x_local - m[..., None]), axis=-1)
+    return m, se
+
+
 def _sharded_stats(x_local, labels_ext, blank_id, axis_name):
     """Global softmax stats from a local vocab slice (one pass + collectives)."""
     v_local = x_local.shape[-1]
     shard = jax.lax.axis_index(axis_name)
     v_offset = shard * v_local
 
-    m = jax.lax.pmax(jnp.max(x_local, axis=-1), axis_name)     # [B,T,S1]
-    se = jax.lax.psum(
-        jnp.sum(jnp.exp(x_local - m[..., None]), axis=-1), axis_name)
+    m_loc, se_loc = _local_max_sumexp(x_local)
+    m = jax.lax.pmax(m_loc, axis_name)                          # [B,T,S1]
+    se = jax.lax.psum(se_loc * jnp.exp(m_loc - m), axis_name)
     denom = -(m + jnp.log(se))
 
     def pick(col_global):

@@ -141,3 +141,18 @@ def test_pallas_vocab_tiled_stats_and_grad():
                         interpret=True, tiles=(8, 128))
     np.testing.assert_allclose(np.asarray(grads), np.asarray(g_ref),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_partial_stats_matches_oracle():
+    # The TP path's pre-reduction kernel: (m, sum-exp) per cell, including
+    # the multi-V-block online variant with an overhanging last block.
+    from monotonic_rnnt_tpu.ops.pallas.kernels import softmax_stats_partial
+
+    rng = np.random.RandomState(2)
+    x = jnp.asarray(rng.randn(2, 8, 5, 200).astype(np.float32) * 3)
+    for tiles in (None, (8, 128)):
+        m, se = softmax_stats_partial(x, interpret=True, tiles=tiles)
+        np.testing.assert_allclose(np.asarray(m), np.max(np.asarray(x), -1),
+                                   rtol=1e-6)
+        exp_se = np.sum(np.exp(np.asarray(x) - np.asarray(m)[..., None]), -1)
+        np.testing.assert_allclose(np.asarray(se), exp_se, rtol=1e-5)
