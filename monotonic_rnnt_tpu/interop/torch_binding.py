@@ -42,10 +42,15 @@ class _MonotonicRNNTFunction(torch.autograd.Function if torch else object):
     @staticmethod
     def forward(ctx, acts, labels, input_lengths, label_lengths, alignment,
                 max_distance_from_alignment, blank_label):
-        if acts.is_cuda:
+        if acts.device.type != "cpu":
             raise ValueError(
                 "the torch binding runs on CPU; use the JAX API "
                 "(monotonic_rnnt_tpu.monotonic_rnnt_loss) for accelerators")
+        # Cost-only fast path (skips the beta recursion and the gradient
+        # buffer entirely) when autograd will never call backward. grad mode
+        # is always off inside Function.forward, so is_grad_enabled() can't
+        # be used; ctx.needs_input_grad already folds it in.
+        needs_grad = ctx.needs_input_grad[0]
         costs_np, grads_np = rnnt_loss_native(
             acts.detach().numpy(), labels.detach().numpy(),
             input_lengths.detach().numpy(), label_lengths.detach().numpy(),
@@ -53,9 +58,10 @@ class _MonotonicRNNTFunction(torch.autograd.Function if torch else object):
             alignment=None if alignment is None
             else alignment.detach().numpy(),
             max_distance_from_alignment=max_distance_from_alignment,
-            with_grads=True)
-        grads = torch.from_numpy(grads_np)
-        ctx.save_for_backward(grads, input_lengths, label_lengths)
+            with_grads=needs_grad)
+        if needs_grad:
+            ctx.save_for_backward(torch.from_numpy(grads_np), input_lengths,
+                                  label_lengths)
         return torch.from_numpy(costs_np)
 
     @staticmethod

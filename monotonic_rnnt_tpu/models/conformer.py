@@ -90,8 +90,15 @@ class ConformerBlock(nn.Module):
         return nn.LayerNorm(dtype=self.cfg.dtype)(x)
 
 
+def _subsample_stages(factor: int) -> int:
+    stages = max(1, int(factor).bit_length() - 1)
+    if 2 ** stages != factor:
+        raise ValueError(f"subsample_factor must be a power of 2, got {factor}")
+    return stages
+
+
 class ConvSubsampler(nn.Module):
-    """Two stride-2 2D convs over (time, freq): T -> T/4."""
+    """log2(subsample_factor) stride-2 2D convs over (time, freq)."""
 
     cfg: ConformerConfig
 
@@ -99,10 +106,10 @@ class ConvSubsampler(nn.Module):
     def __call__(self, feats):
         cfg = self.cfg
         x = feats[..., None]                      # [B, T, F, 1]
-        x = nn.Conv(cfg.dim // 4, (3, 3), strides=(2, 2), dtype=cfg.dtype)(x)
-        x = nn.relu(x)
-        x = nn.Conv(cfg.dim // 4, (3, 3), strides=(2, 2), dtype=cfg.dtype)(x)
-        x = nn.relu(x)
+        for _ in range(_subsample_stages(cfg.subsample_factor)):
+            x = nn.Conv(cfg.dim // 4, (3, 3), strides=(2, 2),
+                        dtype=cfg.dtype)(x)
+            x = nn.relu(x)
         b, t, f, c = x.shape
         x = x.reshape(b, t, f * c)
         return nn.Dense(cfg.dim, dtype=cfg.dtype)(x)
@@ -129,12 +136,18 @@ class ConformerEncoder(nn.Module):
     @nn.compact
     def __call__(self, feats, feat_lengths, deterministic: bool = True):
         cfg = self.cfg
+        # Zero out padded input frames first: the strided subsampling convs
+        # would otherwise leak arbitrary padding values into the last valid
+        # frames (the loss layer promises padding-independence).
+        in_mask = (jnp.arange(feats.shape[1])[None, :]
+                   < feat_lengths[:, None])
+        feats = feats * in_mask[..., None].astype(feats.dtype)
         x = ConvSubsampler(cfg)(feats)
         # Inject position: self-attention is otherwise permutation-invariant
         # (the conv modules alone give only short-range order).
         x = x + sinusoidal_positions(x.shape[1], cfg.dim).astype(x.dtype)
         out_lengths = feat_lengths
-        for _ in range(2):  # two stride-2 convs with VALID-ish length math
+        for _ in range(_subsample_stages(cfg.subsample_factor)):
             out_lengths = (out_lengths - 1) // 2 + 1
         t_out = x.shape[1]
         pad_mask = (jnp.arange(t_out)[None, :]

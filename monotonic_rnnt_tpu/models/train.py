@@ -87,7 +87,7 @@ def save_checkpoint(path: str, state: TrainState) -> None:
     ckpt = ocp.StandardCheckpointer()
     ckpt.save(path, jax.device_get(
         {"params": state.params, "opt_state": state.opt_state,
-         "step": state.step}), force=True)
+         "step": state.step, "dropout_rng": state.dropout_rng}), force=True)
     ckpt.wait_until_finished()
 
 
@@ -95,8 +95,9 @@ def restore_checkpoint(path: str, state: TrainState) -> TrainState:
     import orbax.checkpoint as ocp
     ckpt = ocp.StandardCheckpointer()
     target = {"params": state.params, "opt_state": state.opt_state,
-              "step": state.step}
+              "step": state.step, "dropout_rng": state.dropout_rng}
     restored = ckpt.restore(path, target)
     return state.replace(params=restored["params"],
                          opt_state=restored["opt_state"],
-                         step=restored["step"])
+                         step=restored["step"],
+                         dropout_rng=restored["dropout_rng"])

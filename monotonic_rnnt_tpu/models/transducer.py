@@ -66,10 +66,11 @@ class MonotonicTransducer(nn.Module):
         """Returns per-sample monotonic RNN-T costs [B]."""
         logits, enc_lengths = self.logits(feats, feat_lengths, labels,
                                           deterministic)
-        # Loss requires T_b >= S_b; clamp label lengths defensively for
-        # degenerate synthetic cases (real pipelines filter such samples).
-        slen = jnp.minimum(label_lengths, enc_lengths)
-        return monotonic_rnnt_loss(logits, labels, enc_lengths, slen,
+        # No silent clamping: if subsampling leaves fewer frames than labels
+        # (T'_b < S_b) the lattice is infeasible and the loss is +inf — a
+        # data-pipeline bug should surface, not train on truncated targets.
+        return monotonic_rnnt_loss(logits, labels, enc_lengths,
+                                   label_lengths,
                                    blank_id=self.cfg.blank_id)
 
     def logits(self, feats, feat_lengths, labels, deterministic: bool = True):
@@ -193,7 +194,10 @@ class MonotonicTransducer(nn.Module):
             par_tokens = jnp.take_along_axis(tokens, parent[:, :, None],
                                              axis=1)
             par_n = jnp.take_along_axis(n_hyp, parent, axis=1)
-            emit = tok != blank
+            # Dead beams (score -inf, e.g. fewer finite candidates than
+            # beam_size) must not fabricate tokens: only finite-scoring
+            # non-blank selections emit.
+            emit = (tok != blank) & (top_scores > NEG_INF)
             slot = jnp.arange(cap, dtype=jnp.int32)[None, None, :]
             new_tokens = jnp.where(
                 emit[:, :, None] & (slot == par_n[:, :, None]),

@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 
 from .bands import Bands, default_bands, lattice_masks
-from .helpers import NEG_INF, shift_right_s
+from .helpers import NEG_INF, mask_to_additive, shift_right_s
 from .reference import compute_stats
 
 
@@ -67,8 +67,7 @@ def viterbi_alignment(
 
     lpb = jnp.transpose(stats.lp_blank, (1, 0, 2))   # [T, B, S1]
     lpl = jnp.transpose(stats.lp_label, (1, 0, 2))
-    amask = jnp.transpose(
-        jnp.where(masks.alpha, 0.0, NEG_INF).astype(jnp.float32), (1, 0, 2))
+    amask = jnp.transpose(mask_to_additive(masks.alpha), (1, 0, 2))
 
     s_idx = jnp.arange(s1, dtype=jnp.int32)[None, :]
     init = (jnp.zeros_like(stats.lp_blank[:, 0, :])

@@ -67,3 +67,13 @@ def test_torch_multibatch():
     costs = monotonic_rnnt_loss(torch.tensor(packed), torch.tensor(labels),
                                 torch.tensor(ilen), torch.tensor(slen))
     np.testing.assert_allclose(costs.numpy(), exp_losses, atol=1e-4)
+
+
+def test_torch_cost_only_under_no_grad():
+    # Under no_grad the binding must skip the gradient pass yet return the
+    # same costs (cost-only fast path).
+    acts, labels, ilen, slen = _packed_readme()
+    with torch.no_grad():
+        costs = monotonic_rnnt_loss(acts, labels, ilen, slen)
+    np.testing.assert_allclose(costs.numpy(), [golden.README_LOSS], atol=1e-4)
+    assert costs.grad_fn is None

@@ -188,3 +188,23 @@ def test_predictor_step_matches_batched_call():
         np.testing.assert_allclose(np.asarray(got), np.asarray(batched),
                                    rtol=1e-5, atol=1e-5,
                                    err_msg=cls.__name__)
+
+
+def test_beam_search_dead_beams_do_not_fabricate():
+    # A sample whose utterance is empty (enc length 0 after subsampling can't
+    # happen, but length-1 with beam > 1 leaves dead -inf beams): dead beams
+    # must not write tokens.
+    cfg = _tiny_cfg()
+    model = MonotonicTransducer(cfg)
+    feats, flen, labels, slen = (jnp.asarray(a) for a in tiny_batch(
+        batch=2, t=24, feat_dim=16, s=4, vocab=32))
+    params = model.init(jax.random.PRNGKey(0), feats, flen, labels, slen)
+    dec_flen = jnp.asarray([4, 24], jnp.int32)  # sample 0: 1 frame after /4
+    tok, n, score = model.apply(params, feats, dec_flen, 6, 3,
+                                method=MonotonicTransducer.beam_search_decode)
+    tok, n, score = np.asarray(tok), np.asarray(n), np.asarray(score)
+    for b in range(2):
+        for k in range(3):
+            if not np.isfinite(score[b, k]):
+                assert n[b, k] == 0, (b, k, n[b, k], score[b, k])
+                assert (tok[b, k] == 0).all()
