@@ -1,0 +1,162 @@
+"""TPU acceptance: compiled-kernel correctness sweep on real hardware.
+
+The pytest suite runs on a virtual CPU mesh (interpret mode); this script is
+the complementary on-device check — run it on a TPU host after kernel
+changes:
+
+    python scripts/tpu_acceptance.py
+
+Covers: golden README lattice through the compiled Pallas pipeline, oracle
+parity on random shapes (single-tile, large-V multi-tile, long-S, banded
+long-sequence), cost-only path, bf16 inputs, and the dp/tp sharded losses on
+a 1-chip mesh. Prints one PASS/FAIL line per check; exits nonzero on any
+failure.
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+failures = []
+
+
+def check(name, fn):
+    try:
+        fn()
+        print(f"PASS {name}")
+    except Exception as exc:  # noqa: BLE001 - report and continue
+        failures.append(name)
+        print(f"FAIL {name}: {type(exc).__name__}: {str(exc)[:200]}")
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from monotonic_rnnt_tpu.ops.bands import bands_from_alignment
+    from monotonic_rnnt_tpu.ops.pallas.fused import rnnt_loss_pallas
+    from monotonic_rnnt_tpu.ops.reference import rnnt_loss_reference
+
+    assert jax.default_backend() != "cpu", "run this on a TPU host"
+    print(f"device: {jax.devices()[0]}")
+
+    f_pal = jax.jit(rnnt_loss_pallas, static_argnames=("blank_id",
+                                                       "with_grads"))
+    f_ref = jax.jit(rnnt_loss_reference, static_argnames=("blank_id",
+                                                          "with_grads"))
+
+    def parity(B, T, S, V, seed=0, atol_c=1e-3, atol_g=5e-4, bands=None,
+               ilen=None, slen=None):
+        rng = np.random.RandomState(seed)
+        logits = jnp.asarray(rng.randn(B, T, S + 1, V).astype(np.float32))
+        labels = jnp.asarray(rng.randint(1, V, (B, S)).astype(np.int32))
+        il = jnp.asarray(ilen if ilen is not None
+                         else rng.randint(S + 1, T + 1, (B,)), jnp.int32)
+        sl = jnp.asarray(slen if slen is not None
+                         else rng.randint(0, S + 1, (B,)), jnp.int32)
+        c1, g1 = f_pal(logits, labels, il, sl, bands=bands)
+        c2, g2 = f_ref(logits, labels, il, sl, bands=bands)
+        ce = float(jnp.max(jnp.abs(c1 - c2)))
+        ge = float(jnp.max(jnp.abs(g1 - g2)))
+        assert ce < atol_c and ge < atol_g, f"cost err {ce}, grad err {ge}"
+
+    def golden():
+        sys.path.insert(0, str(Path(__file__).resolve().parent.parent
+                               / "tests"))
+        import golden as gold
+        logits, labels, ilen, slen = gold.readme_batch()
+        c, g = f_pal(jnp.asarray(logits), jnp.asarray(labels),
+                     jnp.asarray(ilen), jnp.asarray(slen))
+        np.testing.assert_allclose(np.asarray(c), [gold.README_LOSS],
+                                   atol=1e-4)
+        np.testing.assert_allclose(np.asarray(g)[0], gold.README_GRADS,
+                                   atol=1e-2)
+
+    check("golden README lattice (compiled)", golden)
+    check("parity B=8 T=64 S=16 V=256", lambda: parity(8, 64, 16, 256))
+    check("parity large-V multi-tile (16,150,20,5000)",
+          lambda: parity(16, 150, 20, 5000))
+    check("parity long-S (2,391,300,79)", lambda: parity(2, 391, 300, 79))
+    check("parity odd-V lane masking (2,24,7,1003)",
+          lambda: parity(2, 24, 7, 1003))
+
+    def banded_long():
+        import numpy as np
+        B, T, S, V = 2, 1600, 200, 1024
+        rng = np.random.RandomState(0)
+        ilen = np.array([T, T - 37], np.int32)
+        slen = np.array([S, S - 11], np.int32)
+        labels = rng.randint(1, V, (B, S)).astype(np.int32)
+        align = np.zeros((B, T), np.int32)
+        for b in range(B):
+            pos = np.sort(rng.choice(ilen[b], size=slen[b], replace=False))
+            align[b, pos] = labels[b, :slen[b]]
+        bands = bands_from_alignment(jnp.asarray(align), jnp.asarray(ilen),
+                                     jnp.asarray(slen), 20, 0)
+        logits = jnp.asarray(rng.randn(B, T, S + 1, V).astype(np.float32))
+        c1, g1 = f_pal(logits, jnp.asarray(labels), jnp.asarray(ilen),
+                       jnp.asarray(slen), bands=bands)
+        c2, g2 = f_ref(logits, jnp.asarray(labels), jnp.asarray(ilen),
+                       jnp.asarray(slen), bands=bands)
+        rel = float(jnp.max(jnp.abs(c1 - c2) / (jnp.abs(c2) + 1.0)))
+        ge = float(jnp.max(jnp.abs(g1 - g2)))
+        assert rel < 1e-5 and ge < 2e-3, f"rel cost err {rel}, grad err {ge}"
+
+    check("banded long-sequence (2,1600,200,1024, shift 20)", banded_long)
+
+    def cost_only():
+        rng = np.random.RandomState(1)
+        logits = jnp.asarray(rng.randn(4, 32, 9, 128).astype(np.float32))
+        labels = jnp.asarray(rng.randint(1, 128, (4, 8)).astype(np.int32))
+        il = jnp.full((4,), 32, jnp.int32)
+        sl = jnp.full((4,), 8, jnp.int32)
+        c1, g = f_pal(logits, labels, il, sl, with_grads=False)
+        assert g is None
+        c2, _ = f_pal(logits, labels, il, sl)
+        np.testing.assert_allclose(np.asarray(c1), np.asarray(c2), rtol=1e-6)
+
+    check("cost-only fast path", cost_only)
+
+    def bf16():
+        rng = np.random.RandomState(2)
+        logits = jnp.asarray(rng.randn(4, 32, 9, 256).astype(np.float32))
+        labels = jnp.asarray(rng.randint(1, 256, (4, 8)).astype(np.int32))
+        il = jnp.full((4,), 32, jnp.int32)
+        sl = jnp.full((4,), 8, jnp.int32)
+        c16, g16 = f_pal(logits.astype(jnp.bfloat16), labels, il, sl)
+        c32, _ = f_pal(logits, labels, il, sl)
+        assert g16.dtype == jnp.bfloat16
+        assert float(jnp.max(jnp.abs(c16 - c32))) < 0.3
+
+    check("bf16 inputs (grads written bf16)", bf16)
+
+    def sharded():
+        from monotonic_rnnt_tpu.parallel import (make_data_parallel_loss,
+                                                 make_dp_tp_loss, make_mesh)
+        rng = np.random.RandomState(3)
+        logits = jnp.asarray(rng.randn(4, 32, 9, 512).astype(np.float32))
+        labels = jnp.asarray(rng.randint(1, 512, (4, 8)).astype(np.int32))
+        il = jnp.full((4,), 32, jnp.int32)
+        sl = jnp.full((4,), 8, jnp.int32)
+        mesh = make_mesh(data=1, model=1)
+        dp = float(make_data_parallel_loss(mesh)(logits, labels, il, sl))
+        tp = float(make_dp_tp_loss(mesh)(logits, labels, il, sl))
+        ref, _ = f_ref(logits, labels, il, sl)
+        want = float(jnp.mean(ref))
+        assert abs(dp - want) < 1e-3 and abs(tp - want) < 1e-3, (dp, tp, want)
+
+    check("dp and dp-tp sharded losses (1-chip mesh)", sharded)
+
+    if failures:
+        print(f"\n{len(failures)} FAILED: {failures}")
+        return 1
+    print("\nall TPU acceptance checks passed")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
