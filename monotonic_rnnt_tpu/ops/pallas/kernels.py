@@ -110,11 +110,15 @@ def dp_tiles(batch: int, t_max: int, s1: int):
     else:
         bt = 8
         row_bytes = round_up(s1, 128) * 4
-        # 4 [BT, TT, S1] buffers per program; keep BT modest — parallelism
-        # across programs matters more than per-program width.
-        while bt * 2 * min(t_max, 128) * row_bytes * 4 < _VMEM_BUDGET_BYTES \
-                and bt < 32:
+        # 4 [BT, TT, S1] buffers (x2 double-buffered) per program. The grid's
+        # batch rows execute sequentially on a core, and every row pays the
+        # full sequential T-loop — so WIDER batch tiles directly cut the
+        # wavefront's serial step count. Budget ~24MB of the 64MB scoped
+        # VMEM (see _VMEM_LIMIT), leaving room for compiler temporaries.
+        while 8 * (bt * 2) * min(t_max, 128) * row_bytes \
+                <= 3 * _VMEM_BUDGET_BYTES and bt < 64:
             bt *= 2
+        bt = min(bt, round_up(batch, 8))   # never pad batch beyond one tile
         b_pad = round_up(batch, bt)
     tt = min(round_up(t_max, 8), 128)
     t_pad = round_up(t_max, tt)
