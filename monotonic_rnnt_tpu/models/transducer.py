@@ -129,21 +129,27 @@ class MonotonicTransducer(nn.Module):
         return hyp, n_hyp
 
     def beam_search_decode(self, feats, feat_lengths, max_labels: int,
-                           beam_size: int, deterministic: bool = True):
+                           beam_size: int, deterministic: bool = True,
+                           merge_paths: bool = False):
         """Frame-synchronous beam search.
 
         Monotonic RNN-T emits exactly one decision per frame, so the beam
         advances in lockstep over t: each live hypothesis expands into V
         candidates (blank keeps the hypothesis, a label appends), and the
-        top beam_size by path score survive. Duplicate label sequences
-        reached via different emission timings are kept as distinct
-        hypotheses (no path merging), so the score is a single best path's
-        log-probability — the beam analogue of viterbi_alignment, not of the
-        marginal loss.
+        top beam_size by path score survive.
+
+        merge_paths=False keeps duplicate label sequences (reached via
+        different emission timings) as distinct hypotheses; the score is a
+        single best path's log-probability — the beam analogue of
+        viterbi_alignment. merge_paths=True LSE-merges duplicates each frame
+        — exact within the beam, because at frame t a hypothesis's model
+        state is fully determined by its label sequence — so the score
+        approaches the sequence's marginal log-probability (-loss) as the
+        beam widens.
 
         Returns (tokens [B, beam, max_labels], lengths [B, beam],
         scores [B, beam] log-probs), beams sorted best-first; beam_size=1
-        reproduces greedy_decode.
+        with merge_paths=False reproduces greedy_decode.
         """
         from ..ops.helpers import NEG_INF
 
@@ -204,6 +210,24 @@ class MonotonicTransducer(nn.Module):
                 tok[:, :, None], par_tokens)
             new_n = par_n + emit.astype(jnp.int32)
 
+            if merge_paths:
+                # Hypotheses with identical label sequences are in identical
+                # model state (same predictor history, same frame): merge
+                # exactly by summing probabilities into the lowest-index
+                # representative and killing the duplicates.
+                alive = top_scores > NEG_INF
+                dup = (new_n[:, :, None] == new_n[:, None, :]) & jnp.all(
+                    new_tokens[:, :, None] == new_tokens[:, None, :],
+                    axis=-1)
+                dup = dup & alive[:, :, None] & alive[:, None, :]
+                group = jnp.where(dup, top_scores[:, None, :], NEG_INF)
+                merged = jax.nn.logsumexp(group, axis=-1)
+                k_idx = jnp.arange(beam)
+                has_earlier = jnp.any(
+                    dup & (k_idx[None, :, None] > k_idx[None, None, :]),
+                    axis=-1)
+                top_scores = jnp.where(alive & ~has_earlier, merged, NEG_INF)
+
             # Reorder predictor state by parent, then advance where emitted.
             par_state = jax.tree.map(lambda x: gather_parents(x, parent),
                                      pstate)
@@ -224,4 +248,10 @@ class MonotonicTransducer(nn.Module):
                 pstate, ctx)
         (tokens, n_hyp, score, _, _), _ = jax.lax.scan(step, init,
                                                        jnp.arange(t_out))
+        if merge_paths:
+            # Merging leaves dead slots interleaved; return best-first.
+            order = jnp.argsort(-score, axis=1)
+            tokens = jnp.take_along_axis(tokens, order[:, :, None], axis=1)
+            n_hyp = jnp.take_along_axis(n_hyp, order, axis=1)
+            score = jnp.take_along_axis(score, order, axis=1)
         return tokens, n_hyp, score

@@ -208,3 +208,51 @@ def test_beam_search_dead_beams_do_not_fabricate():
             if not np.isfinite(score[b, k]):
                 assert n[b, k] == 0, (b, k, n[b, k], score[b, k])
                 assert (tok[b, k] == 0).all()
+
+
+def test_beam_search_path_merging_recovers_marginal():
+    # Merged mass must dominate the single best path, stay a log-prob, and
+    # — with a beam wide enough to cover all live hypotheses on a tiny
+    # lattice — equal the true marginal of the decoded sequence (the
+    # unrestricted loss with that sequence as target).
+    cfg = _tiny_cfg(vocab=8)
+    model = MonotonicTransducer(cfg)
+    feats, flen, labels, slen = (jnp.asarray(a) for a in tiny_batch(
+        batch=2, t=16, feat_dim=8, s=2, vocab=8))
+    params = model.init(jax.random.PRNGKey(0), feats, flen, labels, slen)
+
+    tok_p, n_p, s_path = model.apply(
+        params, feats, flen, 3, 8,
+        method=MonotonicTransducer.beam_search_decode)
+    tok_m, n_m, s_merged = model.apply(
+        params, feats, flen, 3, 8, merge_paths=True,
+        method=MonotonicTransducer.beam_search_decode)
+    s_path, s_merged = np.asarray(s_path), np.asarray(s_merged)
+    # Merged mass >= best single path of the same sequence; both <= 0.
+    assert (s_merged[:, 0] >= s_path[:, 0] - 1e-5).all()
+    assert (s_merged[:, 0] <= 1e-5).all()
+
+    # Exactness: compare the merged top hypothesis's mass against the true
+    # marginal of that label sequence (alignment-unrestricted loss with the
+    # decoded sequence as the target), computed on the model's own logits.
+    from monotonic_rnnt_tpu import monotonic_rnnt_loss
+    enc_len = np.asarray(model.apply(
+        params, feats, flen, method=MonotonicTransducer.encode)[1])
+    for b in range(2):
+        nb = int(np.asarray(n_m)[b, 0])
+        if nb == 0:
+            continue
+        seq = jnp.asarray(np.asarray(tok_m)[b:b + 1, 0, :nb])
+        joint_logits, el = model.apply(
+            params, feats[b:b + 1], flen[b:b + 1], seq,
+            method=MonotonicTransducer.logits)
+        cost = monotonic_rnnt_loss(
+            joint_logits[:, :, :nb + 1], seq, el,
+            jnp.asarray([nb], jnp.int32), backend="reference")
+        # Merged mass is a sum over a SUBSET of the sequence's paths, so it
+        # lower-bounds the true marginal (equality iff nothing was pruned).
+        marginal = float(-cost[0])
+        assert s_merged[b, 0] <= marginal + 1e-4, (marginal, s_merged[b, 0])
+        # And it must recover a nontrivial fraction of it on this tiny
+        # lattice (sanity that merging actually accumulates mass).
+        assert s_merged[b, 0] >= marginal - 3.0, (marginal, s_merged[b, 0])
