@@ -27,6 +27,8 @@ class ConformerConfig:
     conv_kernel: int = 15
     subsample_factor: int = 4       # two stride-2 convs
     dropout: float = 0.1
+    causal: bool = False            # streaming mode: no future context
+    attn_left_context: int = -1     # causal attention window (-1 = all past)
     dtype: jnp.dtype = jnp.bfloat16  # compute dtype; params stay f32
 
 
@@ -55,8 +57,10 @@ class ConvModule(nn.Module):
         y = y * pad_mask[..., None].astype(y.dtype)
         y = nn.Dense(2 * cfg.dim, dtype=cfg.dtype)(y)
         y = nn.glu(y, axis=-1)
+        # Streaming mode: left-only padding so frame t never sees t+1..
+        conv_pad = ([(cfg.conv_kernel - 1, 0)] if cfg.causal else "SAME")
         y = nn.Conv(cfg.dim, (cfg.conv_kernel,), feature_group_count=cfg.dim,
-                    padding="SAME", dtype=cfg.dtype)(y)
+                    padding=conv_pad, dtype=cfg.dtype)(y)
         y = nn.LayerNorm(dtype=cfg.dtype)(y)  # stands in for masked batchnorm
         y = nn.swish(y)
         y = nn.Dense(cfg.dim, dtype=cfg.dtype)(y)
@@ -71,6 +75,14 @@ class MHSA(nn.Module):
         cfg = self.cfg
         y = nn.LayerNorm(dtype=cfg.dtype)(x)
         attn_mask = pad_mask[:, None, None, :]  # [B, 1, 1, T]
+        if cfg.causal:
+            t = x.shape[1]
+            q_idx = jnp.arange(t)[:, None]
+            k_idx = jnp.arange(t)[None, :]
+            causal_ok = k_idx <= q_idx
+            if cfg.attn_left_context >= 0:
+                causal_ok &= (q_idx - k_idx) <= cfg.attn_left_context
+            attn_mask = attn_mask & causal_ok[None, None]   # [B,1,T,T]
         y = nn.MultiHeadDotProductAttention(
             num_heads=cfg.num_heads, dtype=cfg.dtype,
             dropout_rate=cfg.dropout)(
@@ -106,9 +118,11 @@ class ConvSubsampler(nn.Module):
     def __call__(self, feats):
         cfg = self.cfg
         x = feats[..., None]                      # [B, T, F, 1]
+        # Streaming mode pads time on the left only (SAME pads both sides).
+        tpad = [(2, 0), (1, 1)] if cfg.causal else "SAME"
         for _ in range(_subsample_stages(cfg.subsample_factor)):
             x = nn.Conv(cfg.dim // 4, (3, 3), strides=(2, 2),
-                        dtype=cfg.dtype)(x)
+                        padding=tpad, dtype=cfg.dtype)(x)
             x = nn.relu(x)
         b, t, f, c = x.shape
         x = x.reshape(b, t, f * c)

@@ -256,3 +256,41 @@ def test_beam_search_path_merging_recovers_marginal():
         # And it must recover a nontrivial fraction of it on this tiny
         # lattice (sanity that merging actually accumulates mass).
         assert s_merged[b, 0] >= marginal - 3.0, (marginal, s_merged[b, 0])
+
+
+def test_causal_encoder_is_future_independent():
+    # Streaming property: with causal=True, encoder frame t' must not change
+    # when input frames beyond its receptive boundary change. Check the
+    # strongest form — outputs for the common prefix are identical when the
+    # future is replaced entirely.
+    from monotonic_rnnt_tpu.models.conformer import (ConformerConfig,
+                                                     ConformerEncoder)
+
+    cfg = ConformerConfig(num_layers=2, dim=32, num_heads=2, dropout=0.0,
+                          causal=True, dtype=jnp.float32)
+    enc = ConformerEncoder(cfg)
+    rng = np.random.RandomState(0)
+    T, F = 64, 16
+    a = rng.randn(1, T, F).astype(np.float32)
+    b = a.copy()
+    cut = 32
+    b[0, cut:] = rng.randn(T - cut, F)            # different future
+    flen = jnp.asarray([T], jnp.int32)
+    params = enc.init(jax.random.PRNGKey(0), jnp.asarray(a), flen)
+    ya, la = enc.apply(params, jnp.asarray(a), flen)
+    yb, lb = enc.apply(params, jnp.asarray(b), flen)
+    # Subsampled frame t' covers input frames <= 4*t'+const; frames strictly
+    # before cut//4 - 1 are safely inside the common prefix.
+    safe = cut // 4 - 1
+    np.testing.assert_allclose(np.asarray(ya)[:, :safe],
+                               np.asarray(yb)[:, :safe], rtol=1e-5,
+                               atol=1e-5)
+    # Sanity: the non-causal encoder does NOT have this property.
+    cfg_nc = ConformerConfig(num_layers=2, dim=32, num_heads=2, dropout=0.0,
+                             causal=False, dtype=jnp.float32)
+    enc_nc = ConformerEncoder(cfg_nc)
+    params_nc = enc_nc.init(jax.random.PRNGKey(0), jnp.asarray(a), flen)
+    za, _ = enc_nc.apply(params_nc, jnp.asarray(a), flen)
+    zb, _ = enc_nc.apply(params_nc, jnp.asarray(b), flen)
+    assert float(np.abs(np.asarray(za)[:, :safe]
+                        - np.asarray(zb)[:, :safe]).max()) > 1e-4
