@@ -12,7 +12,8 @@ Public API:
   Bands / bands_from_alignment — alignment-restriction bands
 """
 
-from .ops.alignment import ViterbiResult, viterbi_alignment
+from .ops.alignment import (ViterbiResult, occupancy_posteriors,
+                            viterbi_alignment)
 from .ops.bands import Bands, bands_from_alignment, default_bands
 from .ops.loss import monotonic_rnnt_alignment_score, monotonic_rnnt_loss
 from .ops.packing import (monotonic_rnnt_loss_packed, pack_acts, unpack_acts)
@@ -27,6 +28,7 @@ __all__ = [
     "monotonic_rnnt_loss_packed",
     "monotonic_rnnt_alignment_score",
     "viterbi_alignment",
+    "occupancy_posteriors",
     "ViterbiResult",
     "rnnt_loss_reference",
     "Bands",

@@ -43,6 +43,38 @@ class ViterbiResult(NamedTuple):
     score: jnp.ndarray
 
 
+def occupancy_posteriors(
+    logits: jnp.ndarray,
+    labels: jnp.ndarray,
+    input_lengths: jnp.ndarray,
+    label_lengths: jnp.ndarray,
+    *,
+    blank_id: int = 0,
+    bands: Optional[Bands] = None,
+) -> jnp.ndarray:
+    """Per-cell occupancy posteriors gamma[b, t, s] = p(path visits (t, s)).
+
+    gamma(t, s) = exp(alpha(t-1, s) + beta(t, s) - ll): the probability mass
+    of all monotonic paths that occupy lattice cell (t, s) — the quantity the
+    gradient formula is built from (reference README.md "Gradients"), exposed
+    for confidence estimation, soft-alignment distillation, and diagnostics.
+    Rows sum to 1 over s for every valid frame t < T_b (and to 0 beyond).
+    """
+    from .reference import (compute_stats, forward_backward,
+                            occupancy_coefficients)
+
+    batch, t_max, s1, _ = logits.shape
+    ilen = input_lengths.astype(jnp.int32)
+    slen = label_lengths.astype(jnp.int32)
+    if bands is None:
+        bands = default_bands(ilen, slen, t_max)
+    masks = lattice_masks(ilen, slen, bands, t_max, s1)
+    stats = compute_stats(logits, labels, slen, blank_id)
+    alphas, betas, ll_fwd, _ = forward_backward(stats, masks, ilen, slen)
+    occ, _, _ = occupancy_coefficients(alphas, betas, ll_fwd, ilen, slen)
+    return occ
+
+
 def viterbi_alignment(
     logits: jnp.ndarray,
     labels: jnp.ndarray,

@@ -112,3 +112,41 @@ def test_viterbi_banded_realign():
                                   golden.ALIGN_B)
     np.testing.assert_allclose(float(res.score[0]), -np.log(0.0672),
                                atol=1e-3)
+
+
+def test_occupancy_posteriors_sum_to_one():
+    from monotonic_rnnt_tpu import occupancy_posteriors
+
+    logits, labels, ilen, slen, _, _ = golden.multibatch(t_pad=6, s_pad=4)
+    occ = jax.jit(occupancy_posteriors)(
+        jnp.asarray(logits), jnp.asarray(labels), jnp.asarray(ilen),
+        jnp.asarray(slen))
+    occ = np.asarray(occ)
+    for b in range(2):
+        np.testing.assert_allclose(occ[b, :ilen[b]].sum(-1), 1.0, rtol=1e-5)
+        assert (np.abs(occ[b, ilen[b]:]) < 1e-7).all()
+    assert (occ >= -1e-7).all()
+
+
+def test_occupancy_concentrates_on_viterbi_path():
+    # On a sharply peaked lattice the occupancy should put most mass on the
+    # Viterbi path's cells.
+    rng = np.random.RandomState(8)
+    T, S, V = 6, 3, 4
+    logits = (rng.randn(1, T, S + 1, V) * 6).astype(np.float32)
+    labels = rng.randint(1, V, size=(1, S)).astype(np.int32)
+    ilen, slen = np.array([T], np.int32), np.array([S], np.int32)
+    from monotonic_rnnt_tpu import occupancy_posteriors, viterbi_alignment
+    occ = np.asarray(occupancy_posteriors(
+        jnp.asarray(logits), jnp.asarray(labels), jnp.asarray(ilen),
+        jnp.asarray(slen)))
+    res = viterbi_alignment(jnp.asarray(logits), jnp.asarray(labels),
+                            jnp.asarray(ilen), jnp.asarray(slen))
+    # Walk the Viterbi path and accumulate its occupancy.
+    s = 0
+    mass = 0.0
+    for t in range(T):
+        mass += occ[0, t, s]
+        if res.alignment[0, t] != 0:
+            s += 1
+    assert mass / T > 0.5, mass / T
