@@ -20,8 +20,6 @@ monotonic_rnnt_op.py:176/214); this implementation fixes that.
 
 from __future__ import annotations
 
-from typing import Optional
-
 import numpy as np
 
 try:

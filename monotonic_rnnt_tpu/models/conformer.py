@@ -11,7 +11,6 @@ matmuls in bf16 with f32 accumulation, no data-dependent control flow.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
 
 import flax.linen as nn
 import jax

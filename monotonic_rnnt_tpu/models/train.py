@@ -8,9 +8,7 @@ with parameters replicated; XLA inserts the gradient psum over ICI.
 
 from __future__ import annotations
 
-import dataclasses
-from functools import partial
-from typing import Any, Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

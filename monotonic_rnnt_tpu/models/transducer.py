@@ -11,7 +11,6 @@ lax.scan over time — no inner emission loop like standard RNN-T.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
 
 import flax.linen as nn
 import jax

@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 
 from .bands import Bands, default_bands, lattice_masks
-from .helpers import NEG_INF, mask_to_additive, shift_right_s
+from .helpers import mask_to_additive, shift_right_s
 from .reference import compute_stats
 
 
@@ -102,8 +102,8 @@ def viterbi_alignment(
     amask = jnp.transpose(mask_to_additive(masks.alpha), (1, 0, 2))
 
     s_idx = jnp.arange(s1, dtype=jnp.int32)[None, :]
-    init = (jnp.zeros_like(stats.lp_blank[:, 0, :])
-            + jnp.where(s_idx == 0, 0.0, NEG_INF).astype(jnp.float32))
+    init = jnp.zeros_like(stats.lp_blank[:, 0, :]) + mask_to_additive(
+        s_idx == 0)
 
     def fwd_step(carry, xs):
         lpb_t, lpl_t, am_t = xs

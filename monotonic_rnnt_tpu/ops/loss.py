@@ -19,6 +19,7 @@ Design decisions mirrored from the reference, re-idiomized for TPU:
 
 from __future__ import annotations
 
+import contextlib
 from functools import partial
 from typing import Optional
 
@@ -27,7 +28,7 @@ import jax.numpy as jnp
 
 from ..utils.config import get_config
 from ..utils.status import validate_loss_inputs
-from .bands import Bands, bands_from_alignment, default_bands, lattice_masks
+from .bands import Bands, bands_from_alignment, default_bands
 from .reference import rnnt_loss_reference
 
 _BACKENDS = ("auto", "reference", "pallas")
@@ -127,20 +128,20 @@ def monotonic_rnnt_loss(
         else:
             bands = default_bands(input_lengths, label_lengths, t_max)
     resolved = _resolve_backend(backend)
-    if get_config().debug_time and not isinstance(logits, jax.core.Tracer):
-        from ..utils.profiling import phase_timer
-        with phase_timer(f"monotonic_rnnt_loss[{resolved}]"):
-            out = _loss_core(logits, labels,
-                             input_lengths.astype(jnp.int32),
-                             label_lengths.astype(jnp.int32),
-                             bands.min_s, bands.max_s, int(blank_id),
-                             resolved)
+    timed = (get_config().debug_time
+             and not isinstance(logits, jax.core.Tracer))
+    with contextlib.ExitStack() as stack:
+        if timed:
+            from ..utils.profiling import phase_timer
+            stack.enter_context(
+                phase_timer(f"monotonic_rnnt_loss[{resolved}]"))
+        out = _loss_core(logits, labels,
+                         input_lengths.astype(jnp.int32),
+                         label_lengths.astype(jnp.int32),
+                         bands.min_s, bands.max_s, int(blank_id), resolved)
+        if timed:
             jax.block_until_ready(out)
-        return out
-    return _loss_core(logits, labels,
-                      input_lengths.astype(jnp.int32),
-                      label_lengths.astype(jnp.int32),
-                      bands.min_s, bands.max_s, int(blank_id), resolved)
+    return out
 
 
 def monotonic_rnnt_alignment_score(logits, labels, input_lengths,

@@ -80,9 +80,8 @@ def rnnt_loss_pallas(
     if not with_grads:
         return costs, None
 
-    beta_virtual = jnp.where(
-        jnp.arange(s1, dtype=jnp.int32)[None, :] == slen[:, None],
-        0.0, NEG_INF).astype(jnp.float32)
+    beta_virtual = mask_to_additive(
+        jnp.arange(s1, dtype=jnp.int32)[None, :] == slen[:, None])
     bmask_p = _pad_small(mask_to_additive(masks.beta), NEG_INF)
     ilen_p = jnp.pad(ilen, (0, b_pad - batch), constant_values=1)
     bvirt_p = jnp.pad(beta_virtual, ((0, b_pad - batch), (0, 0)),

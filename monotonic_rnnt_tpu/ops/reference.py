@@ -90,9 +90,8 @@ def forward_backward(stats: LatticeStats, masks: LatticeMasks,
     # zeros_like ties the carries to the inputs' sharding type (vma) so the
     # scans are valid inside shard_map.
     zrow = jnp.zeros_like(stats.lp_blank[:, 0, :])
-    alpha_init = zrow + jnp.where(s_idx == 0, 0.0, NEG_INF).astype(jnp.float32)
-    beta_virtual = zrow + jnp.where(s_idx == slen[:, None], 0.0,
-                                    NEG_INF).astype(jnp.float32)
+    alpha_init = zrow + mask_to_additive(s_idx == 0)
+    beta_virtual = zrow + mask_to_additive(s_idx == slen[:, None])
 
     def alpha_step(carry, xs):
         lpb_t, lpl_t, am_t = xs
@@ -152,11 +151,11 @@ def occupancy_coefficients(alphas: jnp.ndarray, betas: jnp.ndarray,
     s_idx = jnp.arange(s1, dtype=jnp.int32)[None, :]
     t_idx = jnp.arange(t_max, dtype=jnp.int32)[None, :, None]
 
-    alpha_virt = jnp.broadcast_to(
-        jnp.where(s_idx == 0, 0.0, NEG_INF), (batch, s1)).astype(jnp.float32)
+    alpha_virt = jnp.broadcast_to(mask_to_additive(s_idx == 0),
+                                  (batch, s1))
     alpha_prev = jnp.concatenate([alpha_virt[:, None, :], alphas[:, :-1, :]], axis=1)
 
-    beta_virt = jnp.where(s_idx == slen[:, None], 0.0, NEG_INF).astype(jnp.float32)
+    beta_virt = mask_to_additive(s_idx == slen[:, None])
     beta_next = jnp.concatenate(
         [betas[:, 1:, :], jnp.full((batch, 1, s1), NEG_INF, jnp.float32)], axis=1)
     beta_next = jnp.where(t_idx == (ilen[:, None, None] - 1),

@@ -18,7 +18,6 @@ make_dp_tp_loss(mesh) below.
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional
 
 import jax
 import jax.numpy as jnp
