@@ -1,0 +1,123 @@
+"""Randomized fuzz sweep: compiled Pallas pipeline vs the XLA oracle on TPU.
+
+Draws random configurations — shapes, dtypes, degenerate lengths (S_b = 0,
+T_b = S_b, T_b = 1), random alignment bands — and checks costs and gradients
+agree. Run on a TPU host:
+
+    python scripts/fuzz_tpu.py [--cases 30] [--seed 0]
+
+Exits nonzero on the first disagreement, printing the reproducer config.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--cases", type=int, default=30)
+    p.add_argument("--seed", type=int, default=0)
+    args = p.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from monotonic_rnnt_tpu.ops.bands import bands_from_alignment
+    from monotonic_rnnt_tpu.ops.pallas.fused import rnnt_loss_pallas
+    from monotonic_rnnt_tpu.ops.reference import rnnt_loss_reference
+
+    assert jax.default_backend() != "cpu", "run this on a TPU host"
+    f_pal = jax.jit(rnnt_loss_pallas, static_argnames=("blank_id",))
+    f_ref = jax.jit(rnnt_loss_reference, static_argnames=("blank_id",))
+
+    master = np.random.RandomState(args.seed)
+    for case in range(args.cases):
+        seed = master.randint(2**31)
+        rng = np.random.RandomState(seed)
+        B = int(rng.choice([1, 2, 3, 8, 17]))
+        T = int(rng.choice([1, 4, 9, 33, 100, 257]))
+        S = int(rng.randint(0, min(T, 40) + 1))
+        V = int(rng.choice([2, 3, 17, 100, 384, 1500]))
+        blank = int(rng.randint(0, V))
+        bf16 = bool(rng.rand() < 0.25)
+        scale = float(rng.choice([0.5, 2.0, 8.0]))
+
+        logits = rng.randn(B, T, S + 1, V).astype(np.float32) * scale
+        # labels must avoid blank (targets contain no blanks by contract)
+        lab_pool = np.setdiff1d(np.arange(V), [blank])
+        if S > 0 and len(lab_pool) == 0:
+            continue
+        labels = (lab_pool[rng.randint(0, len(lab_pool), (B, max(S, 1)))]
+                  .astype(np.int32))[:, :max(S, 1)]
+        if S == 0:
+            labels = np.zeros((B, 1), np.int32)
+        ilen = rng.randint(max(S, 1), T + 1, (B,)).astype(np.int32)
+        slen = np.minimum(rng.randint(0, S + 1, (B,)), ilen).astype(np.int32)
+
+        use_band = rng.rand() < 0.4
+        bands = None
+        shift = None
+        if use_band:
+            shift = int(rng.randint(0, 5))
+            align = np.zeros((B, T), np.int32)
+            for b in range(B):
+                if slen[b] > 0:
+                    pos = np.sort(rng.choice(ilen[b], size=slen[b],
+                                             replace=False))
+                    align[b, pos] = labels[b, :slen[b]]
+            if blank != 0:
+                # alignment uses blank at blank_id; rebuild with that id
+                align2 = np.full((B, T), blank, np.int32)
+                for b in range(B):
+                    if slen[b] > 0:
+                        pos = np.sort(rng.choice(ilen[b], size=slen[b],
+                                                 replace=False))
+                        align2[b, pos] = labels[b, :slen[b]]
+                align = align2
+            bands = bands_from_alignment(
+                jnp.asarray(align), jnp.asarray(ilen), jnp.asarray(slen),
+                shift, blank)
+
+        x = jnp.asarray(logits.astype(np.float32))
+        if bf16:
+            x = x.astype(jnp.bfloat16)
+        la, il, sl = (jnp.asarray(a) for a in (labels, ilen, slen))
+        c1, g1 = f_pal(x, la, il, sl, blank_id=blank, bands=bands)
+        c2, g2 = f_ref(x, la, il, sl, blank_id=blank, bands=bands)
+        c1, c2 = np.asarray(c1), np.asarray(c2)
+        g1 = np.asarray(g1, dtype=np.float32)
+        g2 = np.asarray(g2, dtype=np.float32)
+
+        desc = (f"case {case}: seed={seed} B={B} T={T} S={S} V={V} "
+                f"blank={blank} bf16={bf16} scale={scale} shift={shift}")
+        # Infeasible samples (banded): both must be +inf with zero grads.
+        inf1, inf2 = ~np.isfinite(c1), ~np.isfinite(c2)
+        if (inf1 != inf2).any():
+            print(f"FAIL {desc}: feasibility mismatch {c1} vs {c2}")
+            return 1
+        fin = ~inf1
+        tol_c = 2e-2 if bf16 else 2e-3
+        tol_g = 2e-2 if bf16 else 1e-3
+        ce = float(np.abs(np.where(fin, c1 - c2, 0.0)).max()) if B else 0.0
+        ge = float(np.abs(g1 - g2).max())
+        if ce > tol_c * max(1.0, float(np.abs(np.where(fin, c2, 0)).max())) \
+                or ge > tol_g:
+            print(f"FAIL {desc}: cost err {ce}, grad err {ge}")
+            return 1
+        if not (np.isfinite(g1).all() and np.isfinite(g2).all()):
+            print(f"FAIL {desc}: non-finite grads")
+            return 1
+        print(f"ok   {desc}  (cost err {ce:.2e}, grad err {ge:.2e})")
+
+    print(f"\nall {args.cases} fuzz cases passed")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
