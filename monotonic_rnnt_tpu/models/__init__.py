@@ -1,0 +1,20 @@
+"""Conformer-transducer model family (reference §7.7 integration target).
+
+Public surface:
+  ConformerConfig / ConformerEncoder     — acoustic encoder (causal option)
+  PredictorConfig / LstmPredictor / ConvPredictor — label-context networks
+  TransducerConfig / MonotonicTransducer — encoder + predictor + joint + loss,
+      with greedy_decode and beam_search_decode (merge_paths option)
+  train: create_train_state, train_step, make_sharded_train_step,
+      save_checkpoint, restore_checkpoint
+"""
+
+from .conformer import ConformerConfig, ConformerEncoder
+from .predictor import ConvPredictor, LstmPredictor, PredictorConfig
+from .transducer import Joint, MonotonicTransducer, TransducerConfig
+
+__all__ = [
+    "ConformerConfig", "ConformerEncoder", "PredictorConfig",
+    "LstmPredictor", "ConvPredictor", "TransducerConfig",
+    "MonotonicTransducer", "Joint",
+]
