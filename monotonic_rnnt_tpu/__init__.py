@@ -15,6 +15,7 @@ Public API:
 from .ops.alignment import (ViterbiResult, occupancy_posteriors,
                             viterbi_alignment)
 from .ops.bands import Bands, bands_from_alignment, default_bands
+from .ops.chunked import rnnt_loss_fused_joint
 from .ops.loss import monotonic_rnnt_alignment_score, monotonic_rnnt_loss
 from .ops.packing import (monotonic_rnnt_loss_packed, pack_acts, unpack_acts)
 from .ops.reference import rnnt_loss_reference
@@ -31,6 +32,7 @@ __all__ = [
     "occupancy_posteriors",
     "ViterbiResult",
     "rnnt_loss_reference",
+    "rnnt_loss_fused_joint",
     "Bands",
     "bands_from_alignment",
     "default_bands",

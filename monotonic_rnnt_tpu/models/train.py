@@ -64,6 +64,51 @@ def train_step(state: TrainState, batch) -> Tuple[TrainState, dict]:
     return new_state, metrics
 
 
+def make_memory_efficient_loss(model: MonotonicTransducer,
+                               chunk_t: int = 32):
+    """Loss fn that never materializes the [B, T, S+1, V] joint tensor.
+
+    Streams the lattice in T-chunks through ops.chunked.rnnt_loss_fused_joint
+    — peak activation memory drops from O(B·T·S·V) to one chunk's worth,
+    enabling large-vocab long-utterance training that OOMs with the standard
+    path (e.g. V=8k, T'=1024, B=4 needs an 8 GiB logits tensor plus its
+    gradient on the monolithic path; the fused path fits comfortably on one
+    16 GiB chip). Returns loss_fn(params, batch) -> mean cost; differentiable
+    w.r.t. all params (encoder/predictor grads via autodiff through enc/pred,
+    joint grads via the fused custom VJP).
+    """
+    from ..ops.chunked import rnnt_loss_fused_joint
+
+    def _encode(m, feats, flen):
+        return m.encode(feats, flen)
+
+    def _predict(m, labels):
+        return m.predictor(labels)
+
+    def _joint(m, e_c, p):
+        return m.joint(e_c, p)
+
+    def loss_fn(params, batch):
+        feats, feat_lengths, labels, label_lengths = batch
+        enc, enc_lengths = model.apply({"params": params}, feats,
+                                       feat_lengths, method=_encode)
+        pred = model.apply({"params": params}, labels, method=_predict)
+
+        def joint_fn(jp, e_c, p):
+            # jp is the joint submodule's param subtree; re-nest it at its
+            # scope path so model.apply resolves m.joint's variables.
+            return model.apply({"params": {"joint": jp}}, e_c, p,
+                               method=_joint)
+
+        costs = rnnt_loss_fused_joint(
+            enc, pred, labels, enc_lengths, label_lengths.astype(jnp.int32),
+            joint_fn, params["joint"], blank_id=model.cfg.blank_id,
+            chunk_t=chunk_t)
+        return jnp.mean(costs)
+
+    return loss_fn
+
+
 def make_sharded_train_step(mesh: Mesh):
     """jit train_step with batch sharded over 'data', params replicated.
 

@@ -1,0 +1,255 @@
+"""Memory-efficient fused-joint monotonic RNN-T loss.
+
+The standard pipeline materializes the joint-network output — the
+[B, T, S+1, V] logits tensor — as a model activation, plus its gradient:
+for large vocabularies and long utterances that tensor dominates HBM
+(B=4, T'=512, S=64, V=8k fp32 is ~4.4 GB before gradients). This module
+computes the loss *directly from the encoder and predictor outputs*,
+streaming the lattice in T-chunks: each chunk's logits are computed on the
+fly, consumed, and discarded — peak memory drops from O(B·T·S·V) to
+O(B·T·S) + O(B·Tc·S·V) for one chunk. The same idea as sample-/chunk-wise
+transducer memory reduction (see PAPERS.md: "Neural Transducer Training:
+Reduced Memory Consumption with Sample-wise Computation"), expressed as
+chunk scans:
+
+  forward:  alpha rows carried across chunks (chunk logits recomputed);
+  backward (VJP): beta rows in a reverse chunk scan, then per-chunk
+     occupancy coefficients — with the incoming cotangent folded in, so
+     per-sample loss weights are exact — -> dlogits_chunk -> VJP through the
+     user's joint_fn, accumulating (d_enc, d_pred, d_params).
+
+Residuals between forward and backward are O(B·T·S) (alphas + ll); the big
+tensor never exists. Everything is jit-compatible with static shapes.
+
+The joint function contract:
+
+    logits_chunk = joint_fn(params, enc_chunk [B,Tc,De], pred [B,S+1,Dp])
+                   -> [B, Tc, S+1, V] raw logits
+
+(any differentiable map works — the additive tanh joint in models/ fits).
+The reference has no counterpart: its API *receives* the materialized
+activation tensor (acts, tensorflow_binding/monotonic_rnnt_op.cu:28-33).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from .bands import Bands, default_bands, lattice_masks
+from .helpers import (extend_labels, log_sum_exp, mask_to_additive,
+                      shift_left_s, shift_right_s)
+from .reference import compute_stats, occupancy_coefficients
+
+
+def _chunk(x: jnp.ndarray, n_chunks: int, chunk_t: int) -> jnp.ndarray:
+    """[B, T, ...] -> [nC, B, Tc, ...] (T must be padded to nC * Tc)."""
+    batch = x.shape[0]
+    rest = x.shape[2:]
+    return jnp.moveaxis(x.reshape(batch, n_chunks, chunk_t, *rest), 1, 0)
+
+
+def _pad_t(x: jnp.ndarray, t_pad: int, value) -> jnp.ndarray:
+    pad = [(0, 0), (0, t_pad - x.shape[1])] + [(0, 0)] * (x.ndim - 2)
+    return jnp.pad(x, pad, constant_values=value)
+
+
+def rnnt_loss_fused_joint(
+    enc: jnp.ndarray,
+    pred: jnp.ndarray,
+    labels: jnp.ndarray,
+    input_lengths: jnp.ndarray,
+    label_lengths: jnp.ndarray,
+    joint_fn: Callable,
+    joint_params,
+    *,
+    blank_id: int = 0,
+    chunk_t: int = 32,
+    bands: Optional[Bands] = None,
+) -> jnp.ndarray:
+    """Monotonic RNN-T costs from encoder/predictor outputs, O(B·Tc·S·V) mem.
+
+    Args:
+      enc: [B, T, De] encoder outputs (T = frames after subsampling).
+      pred: [B, S+1, Dp] predictor context vectors.
+      labels / input_lengths / label_lengths / blank_id / bands: as in
+        monotonic_rnnt_loss (lengths refer to enc frames / labels).
+      joint_fn: (params, enc_chunk, pred) -> [B, Tc, S+1, V] raw logits.
+      joint_params: pytree of joint parameters.
+      chunk_t: frames per chunk (static); T is padded to a multiple.
+
+    Returns [B] f32 costs, differentiable w.r.t. enc, pred, and joint_params.
+    """
+    bands_ = bands if bands is not None else default_bands(
+        input_lengths, label_lengths, enc.shape[1])
+    return _fused_core(enc, pred, labels,
+                       input_lengths.astype(jnp.int32),
+                       label_lengths.astype(jnp.int32),
+                       joint_params, bands_.min_s, bands_.max_s,
+                       joint_fn, int(blank_id), int(chunk_t))
+
+
+def _prep(enc, ilen, slen, s1, bands, chunk_t):
+    batch, t_max, _ = enc.shape
+    n_chunks = -(-t_max // chunk_t)
+    t_pad = n_chunks * chunk_t
+    masks = lattice_masks(ilen, slen, bands, t_max, s1)
+    amask = _chunk(_pad_t(mask_to_additive(masks.alpha), t_pad, -jnp.inf),
+                   n_chunks, chunk_t)
+    bmask = _chunk(_pad_t(mask_to_additive(masks.beta), t_pad, -jnp.inf),
+                   n_chunks, chunk_t)
+    enc_c = _chunk(_pad_t(enc, t_pad, 0.0), n_chunks, chunk_t)
+    return n_chunks, t_pad, amask, bmask, enc_c
+
+
+def _alphas_and_costs(enc, pred, labels, ilen, slen, joint_params, bands,
+                      joint_fn, blank_id, chunk_t):
+    batch, t_max, _ = enc.shape
+    s1 = pred.shape[1]
+    n_chunks, t_pad, amask, _, enc_c = _prep(enc, ilen, slen, s1, bands,
+                                             chunk_t)
+    s_idx = jnp.arange(s1, dtype=jnp.int32)[None, :]
+    alpha_virt = (jnp.zeros((batch, s1), jnp.float32)
+                  + mask_to_additive(s_idx == 0))
+
+    def alpha_chunk(carry, xs):
+        enc_chunk, am_c = xs
+        stats = compute_stats(joint_fn(joint_params, enc_chunk, pred),
+                              labels, slen, blank_id)
+
+        def step(row, ts):
+            lpb_t, lpl_t, am_t = ts
+            new = log_sum_exp(row + lpb_t,
+                              shift_right_s(row + lpl_t)) + am_t
+            return new, new
+
+        row, alphas_c = jax.lax.scan(
+            step, carry,
+            (jnp.moveaxis(stats.lp_blank, 1, 0),
+             jnp.moveaxis(stats.lp_label, 1, 0),
+             jnp.moveaxis(am_c, 1, 0)))
+        return row, jnp.moveaxis(alphas_c, 0, 1)   # [B, Tc, S1]
+
+    _, alphas_c = jax.lax.scan(
+        jax.checkpoint(alpha_chunk), alpha_virt, (enc_c, amask))
+    alphas = jnp.moveaxis(alphas_c, 0, 1).reshape(batch, t_pad, s1)[:, :t_max]
+
+    ll_fwd = jnp.take_along_axis(
+        jnp.take_along_axis(alphas, jnp.clip(ilen - 1, 0)[:, None, None],
+                            axis=1)[:, 0, :],
+        slen[:, None], axis=1)[:, 0]
+    return alphas, ll_fwd
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10))
+def _fused_core(enc, pred, labels, ilen, slen, joint_params, band_min,
+                band_max, joint_fn, blank_id, chunk_t):
+    _, ll_fwd = _alphas_and_costs(enc, pred, labels, ilen, slen,
+                                  joint_params, Bands(band_min, band_max),
+                                  joint_fn, blank_id, chunk_t)
+    return -ll_fwd
+
+
+def _fused_fwd(enc, pred, labels, ilen, slen, joint_params, band_min,
+               band_max, joint_fn, blank_id, chunk_t):
+    alphas, ll_fwd = _alphas_and_costs(enc, pred, labels, ilen, slen,
+                                       joint_params,
+                                       Bands(band_min, band_max), joint_fn,
+                                       blank_id, chunk_t)
+    res = (enc, pred, labels, ilen, slen, joint_params, band_min, band_max,
+           alphas, ll_fwd)
+    return -ll_fwd, res
+
+
+def _fused_bwd(joint_fn, blank_id, chunk_t, res, ct):
+    (enc, pred, labels, ilen, slen, joint_params, band_min, band_max,
+     alphas, ll_fwd) = res
+    bands = Bands(band_min, band_max)
+    batch, t_max, _ = enc.shape
+    s1 = pred.shape[1]
+    n_chunks, t_pad, _, bmask, enc_c = _prep(enc, ilen, slen, s1, bands,
+                                             chunk_t)
+    s_idx = jnp.arange(s1, dtype=jnp.int32)[None, :]
+    beta_virt = (jnp.zeros((batch, s1), jnp.float32)
+                 + mask_to_additive(s_idx == slen[:, None]))
+
+    # --- betas: reverse chunk scan (chunk logits recomputed). -------------
+    t_base = jnp.arange(n_chunks - 1, -1, -1, dtype=jnp.int32) * chunk_t
+
+    def beta_chunk(carry, xs):
+        enc_chunk, bm_c, t0 = xs
+        stats = compute_stats(joint_fn(joint_params, enc_chunk, pred),
+                              labels, slen, blank_id)
+        ts_local = jnp.arange(chunk_t - 1, -1, -1, dtype=jnp.int32)
+
+        def step(row, ts):
+            lpb_t, lpl_t, bm_t, tl = ts
+            use_virtual = (t0 + tl + 1 >= ilen)[:, None]
+            nxt = jnp.where(use_virtual, beta_virt, row)
+            new = log_sum_exp(nxt + lpb_t,
+                              shift_left_s(nxt) + lpl_t) + bm_t
+            return new, new
+
+        row, betas_rev = jax.lax.scan(
+            step, carry,
+            (jnp.moveaxis(stats.lp_blank, 1, 0)[::-1],
+             jnp.moveaxis(stats.lp_label, 1, 0)[::-1],
+             jnp.moveaxis(bm_c, 1, 0)[::-1],
+             ts_local))
+        return row, jnp.moveaxis(betas_rev[::-1], 0, 1)
+
+    init_beta = jnp.full((batch, s1), -jnp.inf, jnp.float32)
+    _, betas_c = jax.lax.scan(
+        jax.checkpoint(beta_chunk), init_beta,
+        (enc_c[::-1], bmask[::-1], t_base))
+    betas = (jnp.moveaxis(betas_c[::-1], 0, 1)
+             .reshape(batch, t_pad, s1)[:, :t_max])
+
+    # --- per-chunk gradients with the cotangent folded in. ----------------
+    # loss = -ll, dlogits(coef) is linear in (occ, cb, cl); scaling them by
+    # the per-sample cotangent makes param/enc/pred grads exact for weighted
+    # losses.
+    occ, cb, cl = occupancy_coefficients(alphas, betas, ll_fwd, ilen, slen)
+    w = ct.astype(jnp.float32)[:, None, None]
+    occ_c = _chunk(_pad_t(occ * w, t_pad, 0.0), n_chunks, chunk_t)
+    cb_c = _chunk(_pad_t(cb * w, t_pad, 0.0), n_chunks, chunk_t)
+    cl_c = _chunk(_pad_t(cl * w, t_pad, 0.0), n_chunks, chunk_t)
+    labels_ext = extend_labels(labels, slen, s1)
+
+    def chunk_grads(carry, xs):
+        d_pred_acc, d_params_acc = carry
+        enc_chunk, occ_k, cb_k, cl_k = xs
+        logits_c, joint_vjp = jax.vjp(
+            lambda params, e_c, p: joint_fn(params, e_c, p),
+            joint_params, enc_chunk, pred)
+        x = logits_c.astype(jnp.float32)
+        denom = -jax.nn.logsumexp(x, axis=-1)
+        p_full = jnp.exp(x + denom[..., None])
+        v = x.shape[-1]
+        v_idx = jnp.arange(v, dtype=jnp.int32)
+        blank_mask = (v_idx == blank_id)[None, None, None, :]
+        label_mask = (v_idx[None, None, None, :]
+                      == labels_ext[:, None, :, None])
+        coef = (occ_k[..., None]
+                - jnp.where(blank_mask, cb_k[..., None], 0.0)
+                - jnp.where(label_mask, cl_k[..., None], 0.0))
+        dlogits = jnp.where(coef == 0.0, 0.0,
+                            p_full * coef).astype(logits_c.dtype)
+        d_params, d_enc_c, d_pred_c = joint_vjp(dlogits)
+        return (jax.tree.map(jnp.add, d_pred_acc, d_pred_c),
+                jax.tree.map(jnp.add, d_params_acc, d_params)), d_enc_c
+
+    zero_pred = jnp.zeros_like(pred)
+    zero_params = jax.tree.map(jnp.zeros_like, joint_params)
+    (d_pred, d_params), d_enc_c = jax.lax.scan(
+        jax.checkpoint(chunk_grads), (zero_pred, zero_params),
+        (enc_c, occ_c, cb_c, cl_c))
+    d_enc = (jnp.moveaxis(d_enc_c, 0, 1)
+             .reshape(batch, t_pad, -1)[:, :t_max].astype(enc.dtype))
+    return (d_enc, d_pred, None, None, None, d_params, None, None)
+
+
+_fused_core.defvjp(_fused_fwd, _fused_bwd)
