@@ -52,10 +52,12 @@ class ConvModule(nn.Module):
     def __call__(self, x, pad_mask, deterministic: bool):
         cfg = self.cfg
         y = nn.LayerNorm(dtype=cfg.dtype)(x)
-        # Mask padding before the depthwise conv so padded frames don't leak.
-        y = y * pad_mask[..., None].astype(y.dtype)
         y = nn.Dense(2 * cfg.dim, dtype=cfg.dtype)(y)
         y = nn.glu(y, axis=-1)
+        # Mask padding immediately before the depthwise conv: Dense biases
+        # re-populate padded frames, and the kernel-15 conv would leak them
+        # into valid frames (encoder output must be padding-independent).
+        y = y * pad_mask[..., None].astype(y.dtype)
         # Streaming mode: left-only padding so frame t never sees t+1..
         conv_pad = ([(cfg.conv_kernel - 1, 0)] if cfg.causal else "SAME")
         y = nn.Conv(cfg.dim, (cfg.conv_kernel,), feature_group_count=cfg.dim,
@@ -102,10 +104,9 @@ class ConformerBlock(nn.Module):
 
 
 def _subsample_stages(factor: int) -> int:
-    stages = max(1, int(factor).bit_length() - 1)
-    if 2 ** stages != factor:
+    if factor < 1 or 2 ** (int(factor).bit_length() - 1) != factor:
         raise ValueError(f"subsample_factor must be a power of 2, got {factor}")
-    return stages
+    return int(factor).bit_length() - 1
 
 
 class ConvSubsampler(nn.Module):
@@ -114,15 +115,22 @@ class ConvSubsampler(nn.Module):
     cfg: ConformerConfig
 
     @nn.compact
-    def __call__(self, feats):
+    def __call__(self, feats, feat_lengths):
         cfg = self.cfg
         x = feats[..., None]                      # [B, T, F, 1]
         # Streaming mode pads time on the left only (SAME pads both sides).
         tpad = [(2, 0), (1, 1)] if cfg.causal else "SAME"
+        lengths = feat_lengths
         for _ in range(_subsample_stages(cfg.subsample_factor)):
             x = nn.Conv(cfg.dim // 4, (3, 3), strides=(2, 2),
                         padding=tpad, dtype=cfg.dtype)(x)
             x = nn.relu(x)
+            # Re-mask after every strided stage: conv bias + ReLU re-populate
+            # padded frames and the next stage's boundary would read them.
+            lengths = (lengths - 1) // 2 + 1
+            stage_mask = (jnp.arange(x.shape[1])[None, :]
+                          < lengths[:, None])
+            x = x * stage_mask[:, :, None, None].astype(x.dtype)
         b, t, f, c = x.shape
         x = x.reshape(b, t, f * c)
         return nn.Dense(cfg.dim, dtype=cfg.dtype)(x)
@@ -155,7 +163,7 @@ class ConformerEncoder(nn.Module):
         in_mask = (jnp.arange(feats.shape[1])[None, :]
                    < feat_lengths[:, None])
         feats = feats * in_mask[..., None].astype(feats.dtype)
-        x = ConvSubsampler(cfg)(feats)
+        x = ConvSubsampler(cfg)(feats, feat_lengths)
         # Inject position: self-attention is otherwise permutation-invariant
         # (the conv modules alone give only short-range order).
         x = x + sinusoidal_positions(x.shape[1], cfg.dim).astype(x.dtype)

@@ -65,7 +65,8 @@ def train_step(state: TrainState, batch) -> Tuple[TrainState, dict]:
 
 
 def make_memory_efficient_loss(model: MonotonicTransducer,
-                               chunk_t: int = 32):
+                               chunk_t: int = 32,
+                               deterministic: bool = True):
     """Loss fn that never materializes the [B, T, S+1, V] joint tensor.
 
     Streams the lattice in T-chunks through ops.chunked.rnnt_loss_fused_joint
@@ -79,20 +80,23 @@ def make_memory_efficient_loss(model: MonotonicTransducer,
     """
     from ..ops.chunked import rnnt_loss_fused_joint
 
-    def _encode(m, feats, flen):
-        return m.encode(feats, flen)
+    def _encode(m, feats, flen, det):
+        return m.encode(feats, flen, det)
 
-    def _predict(m, labels):
-        return m.predictor(labels)
+    def _predict(m, labels, det):
+        return m.predictor(labels, det)
 
     def _joint(m, e_c, p):
         return m.joint(e_c, p)
 
-    def loss_fn(params, batch):
+    def loss_fn(params, batch, rngs=None):
+        """rngs: e.g. {"dropout": key} when deterministic=False."""
         feats, feat_lengths, labels, label_lengths = batch
         enc, enc_lengths = model.apply({"params": params}, feats,
-                                       feat_lengths, method=_encode)
-        pred = model.apply({"params": params}, labels, method=_predict)
+                                       feat_lengths, deterministic,
+                                       method=_encode, rngs=rngs)
+        pred = model.apply({"params": params}, labels, deterministic,
+                           method=_predict, rngs=rngs)
 
         def joint_fn(jp, e_c, p):
             # jp is the joint submodule's param subtree; re-nest it at its

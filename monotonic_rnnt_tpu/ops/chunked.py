@@ -13,10 +13,11 @@ Reduced Memory Consumption with Sample-wise Computation"), expressed as
 chunk scans:
 
   forward:  alpha rows carried across chunks (chunk logits recomputed);
-  backward (VJP): beta rows in a reverse chunk scan, then per-chunk
-     occupancy coefficients — with the incoming cotangent folded in, so
-     per-sample loss weights are exact — -> dlogits_chunk -> VJP through the
-     user's joint_fn, accumulating (d_enc, d_pred, d_params).
+  backward (VJP): ONE reverse chunk scan evaluating each chunk's logits once
+     (jax.vjp primal) and reusing them for both the beta recurrence and the
+     per-chunk occupancy coefficients — with the incoming cotangent folded
+     in, so per-sample loss weights are exact — -> dlogits_chunk -> VJP
+     through the user's joint_fn, accumulating (d_enc, d_pred, d_params).
 
 Residuals between forward and backward are O(B·T·S) (alphas + ll); the big
 tensor never exists. Everything is jit-compatible with static shapes.
@@ -40,9 +41,10 @@ import jax
 import jax.numpy as jnp
 
 from .bands import Bands, default_bands, lattice_masks
-from .helpers import (extend_labels, log_sum_exp, mask_to_additive,
-                      shift_left_s, shift_right_s)
-from .reference import compute_stats, occupancy_coefficients
+from .helpers import (log_sum_exp, mask_to_additive, shift_left_s,
+                      shift_right_s)
+from .reference import compute_stats, gradients_from_coefficients
+from ..utils.status import RnntError, Status
 
 
 def _chunk(x: jnp.ndarray, n_chunks: int, chunk_t: int) -> jnp.ndarray:
@@ -83,6 +85,22 @@ def rnnt_loss_fused_joint(
 
     Returns [B] f32 costs, differentiable w.r.t. enc, pred, and joint_params.
     """
+    if enc.ndim != 3 or pred.ndim != 3 or enc.shape[0] != pred.shape[0]:
+        raise RnntError(Status.INVALID_VALUE,
+                        f"enc must be [B,T,De] and pred [B,S+1,Dp] with the "
+                        f"same B; got {enc.shape} and {pred.shape}")
+    if labels.ndim != 2 or labels.shape[0] != enc.shape[0] or (
+            labels.shape[1] < pred.shape[1] - 1):
+        raise RnntError(Status.INVALID_VALUE,
+                        f"labels must be [B, >= S]; got {labels.shape} with "
+                        f"pred S+1 = {pred.shape[1]}")
+    for name, arr in (("input_lengths", input_lengths),
+                      ("label_lengths", label_lengths)):
+        if arr.shape != (enc.shape[0],) or not jnp.issubdtype(
+                arr.dtype, jnp.integer):
+            raise RnntError(Status.INVALID_VALUE,
+                            f"{name} must be int [B]; got {arr.shape} "
+                            f"{arr.dtype}")
     bands_ = bands if bands is not None else default_bands(
         input_lengths, label_lengths, enc.shape[1])
     return _fused_core(enc, pred, labels,
@@ -165,6 +183,10 @@ def _fused_fwd(enc, pred, labels, ilen, slen, joint_params, band_min,
 
 
 def _fused_bwd(joint_fn, blank_id, chunk_t, res, ct):
+    """Betas + gradients in ONE reverse chunk scan: each chunk's logits are
+    evaluated once (jax.vjp primal) and reused for the beta recurrence and
+    the dlogits -> joint-VJP push; the incoming cotangent is folded into the
+    occupancy coefficients so per-sample loss weights are exact."""
     (enc, pred, labels, ilen, slen, joint_params, band_min, band_max,
      alphas, ll_fwd) = res
     bands = Bands(band_min, band_max)
@@ -173,81 +195,74 @@ def _fused_bwd(joint_fn, blank_id, chunk_t, res, ct):
     n_chunks, t_pad, _, bmask, enc_c = _prep(enc, ilen, slen, s1, bands,
                                              chunk_t)
     s_idx = jnp.arange(s1, dtype=jnp.int32)[None, :]
-    beta_virt = (jnp.zeros((batch, s1), jnp.float32)
-                 + mask_to_additive(s_idx == slen[:, None]))
+    zrow = jnp.zeros((batch, s1), jnp.float32)
+    beta_virt = zrow + mask_to_additive(s_idx == slen[:, None])
+    alpha_virt = zrow + mask_to_additive(s_idx == 0)
 
-    # --- betas: reverse chunk scan (chunk logits recomputed). -------------
+    # alpha(t-1, s) rows, chunked like enc (fill value irrelevant: valid_t
+    # masks padded frames to zero coefficients).
+    alpha_prev = jnp.concatenate([alpha_virt[:, None, :], alphas[:, :-1, :]],
+                                 axis=1)
+    aprev_c = _chunk(_pad_t(alpha_prev, t_pad, -jnp.inf), n_chunks, chunk_t)
+
+    ll_ok = jnp.isfinite(ll_fwd)
+    llb = jnp.where(ll_ok, ll_fwd, 0.0)[:, None, None]
+    w = ct.astype(jnp.float32)[:, None, None]
     t_base = jnp.arange(n_chunks - 1, -1, -1, dtype=jnp.int32) * chunk_t
+    tl_idx = jnp.arange(chunk_t, dtype=jnp.int32)
 
-    def beta_chunk(carry, xs):
-        enc_chunk, bm_c, t0 = xs
-        stats = compute_stats(joint_fn(joint_params, enc_chunk, pred),
-                              labels, slen, blank_id)
+    def chunk_bwd(carry, xs):
+        beta_row, d_pred_acc, d_params_acc = carry
+        enc_chunk, bm_c, t0, aprev_k = xs
+        logits_c, joint_vjp = jax.vjp(
+            lambda params, e_c, p: joint_fn(params, e_c, p),
+            joint_params, enc_chunk, pred)
+        stats = compute_stats(logits_c, labels, slen, blank_id)
+
         ts_local = jnp.arange(chunk_t - 1, -1, -1, dtype=jnp.int32)
 
         def step(row, ts):
             lpb_t, lpl_t, bm_t, tl = ts
+            # nxt is beta(t+1, ·) with the virtual terminal row substituted
+            # at t == T_b - 1 — exactly the beta_next the gradient needs.
             use_virtual = (t0 + tl + 1 >= ilen)[:, None]
             nxt = jnp.where(use_virtual, beta_virt, row)
             new = log_sum_exp(nxt + lpb_t,
                               shift_left_s(nxt) + lpl_t) + bm_t
-            return new, new
+            return new, (new, nxt)
 
-        row, betas_rev = jax.lax.scan(
-            step, carry,
+        beta_row, (betas_rev, bnext_rev) = jax.lax.scan(
+            step, beta_row,
             (jnp.moveaxis(stats.lp_blank, 1, 0)[::-1],
              jnp.moveaxis(stats.lp_label, 1, 0)[::-1],
              jnp.moveaxis(bm_c, 1, 0)[::-1],
              ts_local))
-        return row, jnp.moveaxis(betas_rev[::-1], 0, 1)
+        betas_k = jnp.moveaxis(betas_rev[::-1], 0, 1)      # [B, Tc, S1]
+        bnext_k = jnp.moveaxis(bnext_rev[::-1], 0, 1)
 
-    init_beta = jnp.full((batch, s1), -jnp.inf, jnp.float32)
-    _, betas_c = jax.lax.scan(
-        jax.checkpoint(beta_chunk), init_beta,
-        (enc_c[::-1], bmask[::-1], t_base))
-    betas = (jnp.moveaxis(betas_c[::-1], 0, 1)
-             .reshape(batch, t_pad, s1)[:, :t_max])
+        t_glob = t0 + tl_idx
+        valid_t = ((t_glob[None, :, None] < ilen[:, None, None])
+                   & ll_ok[:, None, None])
 
-    # --- per-chunk gradients with the cotangent folded in. ----------------
-    # loss = -ll, dlogits(coef) is linear in (occ, cb, cl); scaling them by
-    # the per-sample cotangent makes param/enc/pred grads exact for weighted
-    # losses.
-    occ, cb, cl = occupancy_coefficients(alphas, betas, ll_fwd, ilen, slen)
-    w = ct.astype(jnp.float32)[:, None, None]
-    occ_c = _chunk(_pad_t(occ * w, t_pad, 0.0), n_chunks, chunk_t)
-    cb_c = _chunk(_pad_t(cb * w, t_pad, 0.0), n_chunks, chunk_t)
-    cl_c = _chunk(_pad_t(cl * w, t_pad, 0.0), n_chunks, chunk_t)
-    labels_ext = extend_labels(labels, slen, s1)
+        def coef(b):
+            return jnp.where(valid_t, jnp.exp(aprev_k + b - llb), 0.0) * w
 
-    def chunk_grads(carry, xs):
-        d_pred_acc, d_params_acc = carry
-        enc_chunk, occ_k, cb_k, cl_k = xs
-        logits_c, joint_vjp = jax.vjp(
-            lambda params, e_c, p: joint_fn(params, e_c, p),
-            joint_params, enc_chunk, pred)
-        x = logits_c.astype(jnp.float32)
-        denom = -jax.nn.logsumexp(x, axis=-1)
-        p_full = jnp.exp(x + denom[..., None])
-        v = x.shape[-1]
-        v_idx = jnp.arange(v, dtype=jnp.int32)
-        blank_mask = (v_idx == blank_id)[None, None, None, :]
-        label_mask = (v_idx[None, None, None, :]
-                      == labels_ext[:, None, :, None])
-        coef = (occ_k[..., None]
-                - jnp.where(blank_mask, cb_k[..., None], 0.0)
-                - jnp.where(label_mask, cl_k[..., None], 0.0))
-        dlogits = jnp.where(coef == 0.0, 0.0,
-                            p_full * coef).astype(logits_c.dtype)
+        dlogits = gradients_from_coefficients(
+            logits_c, stats.denom, labels, slen, coef(betas_k),
+            coef(bnext_k), coef(shift_left_s(bnext_k)),
+            blank_id).astype(logits_c.dtype)
         d_params, d_enc_c, d_pred_c = joint_vjp(dlogits)
-        return (jax.tree.map(jnp.add, d_pred_acc, d_pred_c),
+        return (beta_row,
+                jax.tree.map(jnp.add, d_pred_acc, d_pred_c),
                 jax.tree.map(jnp.add, d_params_acc, d_params)), d_enc_c
 
-    zero_pred = jnp.zeros_like(pred)
-    zero_params = jax.tree.map(jnp.zeros_like, joint_params)
-    (d_pred, d_params), d_enc_c = jax.lax.scan(
-        jax.checkpoint(chunk_grads), (zero_pred, zero_params),
-        (enc_c, occ_c, cb_c, cl_c))
-    d_enc = (jnp.moveaxis(d_enc_c, 0, 1)
+    init = (jnp.full((batch, s1), -jnp.inf, jnp.float32),
+            jnp.zeros_like(pred),
+            jax.tree.map(jnp.zeros_like, joint_params))
+    (_, d_pred, d_params), d_enc_rev = jax.lax.scan(
+        jax.checkpoint(chunk_bwd), init,
+        (enc_c[::-1], bmask[::-1], t_base, aprev_c[::-1]))
+    d_enc = (jnp.moveaxis(d_enc_rev[::-1], 0, 1)
              .reshape(batch, t_pad, -1)[:, :t_max].astype(enc.dtype))
     return (d_enc, d_pred, None, None, None, d_params, None, None)
 
