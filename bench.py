@@ -83,7 +83,7 @@ def main():
 
     def cost_body(i, carry):
         x, acc = carry
-        x = x.at[:, 0, 0, 0].add(acc * 1e-20)
+        x = x.at[:, 0, 0, 0].add((acc * 1e-20).astype(x.dtype))
         if on_tpu:
             c, _ = rnnt_loss_pallas(x, labels, ilen, slen, with_grads=False)
         else:
@@ -98,6 +98,12 @@ def main():
     hbm_bw = 2 * nbytes / t_copy                      # measured stream rate
     sol_time = 3 * nbytes / hbm_bw                    # 2 reads + 1 write
     roofline_frac = sol_time / t_loss
+    # Also report the fraction against the chip's *spec* bandwidth so the
+    # measured-copy headline can't be misread as "% of hardware peak". The
+    # measured ceiling is the honest achievable bound through this runtime
+    # (axon tunnel); spec is the datasheet number.
+    hbm_spec = 819e9 if "v5 lite" in jax.devices()[0].device_kind else None
+    roofline_frac_spec = (3 * nbytes / hbm_spec) / t_loss if hbm_spec else None
     cells_per_s = B * T * S1 / t_loss
 
     # Correctness spot check against the oracle (allclose per BASELINE).
@@ -124,6 +130,9 @@ def main():
             "iter_ms": round(t_loss * 1e3, 3),
             "measured_hbm_GBps": round(hbm_bw / 1e9, 1),
             "roofline_fraction": round(roofline_frac, 3),
+            "hbm_spec_GBps": round(hbm_spec / 1e9, 1) if hbm_spec else None,
+            "roofline_fraction_vs_spec": (round(roofline_frac_spec, 3)
+                                          if roofline_frac_spec else None),
             "max_cost_err_vs_oracle": max_cost_err,
             "max_grad_err_vs_oracle": max_grad_err,
             "bf16_iter_ms": round(t_loss16 * 1e3, 3),

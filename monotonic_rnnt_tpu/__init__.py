@@ -14,7 +14,11 @@ Public API:
 
 from .ops.alignment import (ViterbiResult, occupancy_posteriors,
                             viterbi_alignment)
-from .ops.bands import Bands, bands_from_alignment, default_bands
+from .ops.banded import monotonic_rnnt_loss_banded
+from .ops.bands import (BandLayout, Bands, band_layout_is_exact,
+                        bands_from_alignment, compute_band_layout,
+                        default_bands, pack_band, required_band_width,
+                        unpack_band)
 from .ops.chunked import rnnt_loss_fused_joint
 from .ops.loss import monotonic_rnnt_alignment_score, monotonic_rnnt_loss
 from .ops.packing import (monotonic_rnnt_loss_packed, pack_acts, unpack_acts)
@@ -33,9 +37,16 @@ __all__ = [
     "ViterbiResult",
     "rnnt_loss_reference",
     "rnnt_loss_fused_joint",
+    "monotonic_rnnt_loss_banded",
     "Bands",
+    "BandLayout",
     "bands_from_alignment",
     "default_bands",
+    "compute_band_layout",
+    "band_layout_is_exact",
+    "required_band_width",
+    "pack_band",
+    "unpack_band",
     "pack_acts",
     "unpack_acts",
     "RnntError",

@@ -68,10 +68,22 @@ class SyntheticDataset:
                                    size=(n_labels,)).astype(np.int32)
         return feats, labels
 
+    def label_bound(self, t_bound: int, subsample_factor: int = 4) -> int:
+        """Static label-dim padding for a bucket with frame bound t_bound.
+
+        The per-utterance label count is at most t / frames_per_label, and is
+        further clipped so that after encoder subsampling T' >= S holds; both
+        bounds are monotone in t, so evaluating them at the bucket's frame
+        bound gives a per-bucket constant. Batch shapes are then fully
+        static: one XLA compilation per bucket, never per batch.
+        """
+        by_rate = int(t_bound / self.cfg.frames_per_label)
+        by_subsample = max(1, t_bound // subsample_factor - 1)
+        return max(1, min(by_rate, by_subsample))
+
     def batches(self, subsample_factor: int = 4) -> Iterator[Batch]:
         """Yield bucketed batches; label padding sized so that after encoder
         subsampling T' >= S always holds."""
-        cfg = self.cfg
         pools: List[List[Tuple[np.ndarray, np.ndarray]]] = [
             [] for _ in self.bounds]
         while True:
@@ -81,12 +93,13 @@ class SyntheticDataset:
             max_labels = max(1, len(feats) // subsample_factor - 1)
             pools[b].append((feats, labels[:max_labels]))
             if len(pools[b]) == self.batch_size:
-                yield self._collate(pools[b], self.bounds[b])
+                yield self._collate(pools[b], self.bounds[b],
+                                    self.label_bound(self.bounds[b],
+                                                     subsample_factor))
                 pools[b] = []
 
-    def _collate(self, utts, t_pad: int) -> Batch:
+    def _collate(self, utts, t_pad: int, s_pad: int) -> Batch:
         batch = len(utts)
-        s_pad = max(len(l) for _, l in utts)
         feats = np.zeros((batch, t_pad, self.cfg.feat_dim), np.float32)
         labels = np.zeros((batch, s_pad), np.int32)
         flen = np.zeros((batch,), np.int32)

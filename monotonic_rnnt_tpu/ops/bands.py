@@ -88,36 +88,230 @@ class LatticeMasks(NamedTuple):
     beta: jnp.ndarray
 
 
-def lattice_masks(input_lengths: jnp.ndarray, label_lengths: jnp.ndarray,
-                  bands: Bands, t_max: int, s1: int) -> LatticeMasks:
-    """Build alpha/beta reachability masks.
+def _window_bounds(input_lengths: jnp.ndarray, label_lengths: jnp.ndarray,
+                   bands: Bands, t_max: int, s1: int):
+    """Per-(b, t) inclusive alpha/beta window bounds (a_lo, a_hi, b_lo, b_hi).
 
     alpha window at t (cpu_workspace_manager.h:67-71):
         max(min_s[t], t - (T-1-S)) <= s <= min(max_s[t], t+1, S)
     beta window at t (cpu_workspace_manager.h:73-86):
         t == 0: s == 0
         else:   max(min_s[t-1], t - (T-S)) <= s <= min(max_s[t-1], t, S)
-    plus t < T_b everywhere.
+    All four are [B, T] int32 (hi < lo means an empty window).
     """
-    ilen = input_lengths.astype(jnp.int32)[:, None, None]
-    slen = label_lengths.astype(jnp.int32)[:, None, None]
-    t_idx = jnp.arange(t_max, dtype=jnp.int32)[None, :, None]
-    s_idx = jnp.arange(s1, dtype=jnp.int32)[None, None, :]
+    ilen = input_lengths.astype(jnp.int32)[:, None]
+    slen = label_lengths.astype(jnp.int32)[:, None]
+    t_idx = jnp.arange(t_max, dtype=jnp.int32)[None, :]
 
-    band_min = bands.min_s[:, :, None]
-    band_max = bands.max_s[:, :, None]
+    a_lo = jnp.maximum(bands.min_s, t_idx - (ilen - 1 - slen))
+    a_hi = jnp.minimum(jnp.minimum(bands.max_s, t_idx + 1), slen)
 
-    a_lo = jnp.maximum(band_min, t_idx - (ilen - 1 - slen))
-    a_hi = jnp.minimum(jnp.minimum(band_max, t_idx + 1), slen)
-    alpha = (s_idx >= a_lo) & (s_idx <= a_hi) & (t_idx < ilen)
-
-    # beta band at t reads the allowed window at t-1.
     prev_min = jnp.concatenate(
-        [jnp.zeros_like(bands.min_s[:, :1]), bands.min_s[:, :-1]], axis=1)[:, :, None]
+        [jnp.zeros_like(bands.min_s[:, :1]), bands.min_s[:, :-1]], axis=1)
     prev_max = jnp.concatenate(
-        [jnp.full_like(bands.max_s[:, :1], s1), bands.max_s[:, :-1]], axis=1)[:, :, None]
+        [jnp.full_like(bands.max_s[:, :1], s1), bands.max_s[:, :-1]], axis=1)
     b_lo = jnp.maximum(prev_min, t_idx - (ilen - slen))
     b_hi = jnp.minimum(jnp.minimum(prev_max, t_idx), slen)
-    beta = (s_idx >= b_lo) & (s_idx <= b_hi) & (t_idx < ilen)
+    return a_lo, a_hi, b_lo, b_hi
 
+
+def lattice_masks(input_lengths: jnp.ndarray, label_lengths: jnp.ndarray,
+                  bands: Bands, t_max: int, s1: int) -> LatticeMasks:
+    """Build alpha/beta reachability masks (see _window_bounds), plus t < T_b."""
+    ilen = input_lengths.astype(jnp.int32)[:, None, None]
+    s_idx = jnp.arange(s1, dtype=jnp.int32)[None, None, :]
+    t_idx = jnp.arange(t_max, dtype=jnp.int32)[None, :, None]
+    a_lo, a_hi, b_lo, b_hi = _window_bounds(
+        input_lengths, label_lengths, bands, t_max, s1)
+    valid_t = t_idx < ilen
+    alpha = (s_idx >= a_lo[:, :, None]) & (s_idx <= a_hi[:, :, None]) & valid_t
+    beta = (s_idx >= b_lo[:, :, None]) & (s_idx <= b_hi[:, :, None]) & valid_t
     return LatticeMasks(alpha=alpha, beta=beta)
+
+
+# ---------------------------------------------------------------------------
+# Packed band layout
+# ---------------------------------------------------------------------------
+#
+# TPU-native replacement for the reference's band-pruned *storage and compute*
+# (cpu_workspace_manager.h:286-297 prunes CPU storage to the band;
+# gpu_rnnt_kernel.h:58-72 skips out-of-band GPU work). Instead of per-cell
+# clamped loops, the lattice's s axis is re-indexed into a packed window of
+# static width W: packed[b, t, w] <-> lattice[b, t, offset[b, t] + w].
+# All loss traffic then scales with W instead of S+1, which is the whole point
+# of the alignment-restricted regime (W ~ 2*max_shift labels vs S hundreds).
+#
+# The layout is valid when offset increments are in {0, 1} per time step —
+# guaranteed for bands_from_alignment (min_s is a cumsum of 0/1 indicators)
+# and for the structural band (t - (T-1-S) advances by 1); arbitrary Bands
+# with faster-growing min_s are not supported by the packed path (the
+# increments are clamped, which would silently tighten the band; use
+# band_layout_is_exact to check).
+
+
+class BandLayout(NamedTuple):
+    """Static-width packed view of a banded [B, T, S+1] lattice.
+
+    offset:  [B, T] int32 — lattice s-index of packed slot w=0 at time t;
+             nondecreasing with per-step increments in {0, 1}.
+    d:       [B, T] int32 — offset[t] - offset[t-1] (offset[-1] := 0), the
+             per-step window shift the banded DP kernels consume.
+    d_next:  [B, T] int32 — d[t+1] (0 at t = T-1), consumed by the backward
+             scan and the occupancy shifts.
+    width:   static int W; packed arrays have shape [B, T, W(, V)].
+    """
+
+    offset: jnp.ndarray
+    d: jnp.ndarray
+    d_next: jnp.ndarray
+    width: int
+
+
+def _raw_offsets(input_lengths, label_lengths, bands: Bands, t_max: int,
+                 s1: int) -> jnp.ndarray:
+    """Unclipped packed-window offsets: the beta window's lower bound.
+
+    The beta lower bound is pointwise <= the alpha one (it reads the band at
+    t-1 and subtracts one more from t), so it anchors both DP windows.
+    Increments outside {0, 1} are unsupported (see module comment); they are
+    clamped, which tightens such bands (band_layout_is_exact detects this).
+    """
+    _, _, b_lo, _ = _window_bounds(input_lengths, label_lengths, bands,
+                                   t_max, s1)
+    slen = label_lengths.astype(jnp.int32)[:, None]
+    o = jnp.clip(b_lo, 0, slen)
+    prev = jnp.concatenate([jnp.zeros_like(o[:, :1]), o[:, :-1]], axis=1)
+    return jnp.cumsum(jnp.clip(o - prev, 0, 1), axis=1)
+
+
+def compute_band_layout(input_lengths: jnp.ndarray,
+                        label_lengths: jnp.ndarray, bands: Bands,
+                        t_max: int, s1: int, width: int) -> BandLayout:
+    """Derive the packed window layout for `bands` at static width `width`.
+
+    offset[t] is the beta window's lower bound at t-1 (offset[0] = 0) — one
+    step *behind* the band. The lag is load-bearing: the window at t must
+    also cover the alpha band of t-1, because (a) the emit transition into
+    alpha(t, s) consumes lp_label at the source cell (t, s-1), and (b) the
+    gradient at cell (t, s) is nonzero wherever alpha(t-1, s) is finite —
+    both one slot below the beta bound at t when the band advances. The
+    bound at t-1 sits below all of: itself (beta band at t-1), the alpha
+    band at t-1, and (being nondecreasing) both bands at t. Offsets are
+    clipped so [offset, offset + W) stays inside [0, s1); clipping by a
+    constant preserves the {0, 1}-increment property.
+    """
+    width = int(min(width, s1))
+    o_raw = _raw_offsets(input_lengths, label_lengths, bands, t_max, s1)
+    o_lag = jnp.concatenate([jnp.zeros_like(o_raw[:, :1]), o_raw[:, :-1]],
+                            axis=1)
+    offset = jnp.minimum(o_lag, s1 - width)
+    prev = jnp.concatenate([jnp.zeros_like(offset[:, :1]), offset[:, :-1]],
+                           axis=1)
+    d = offset - prev
+    d_next = jnp.concatenate([d[:, 1:], jnp.zeros_like(d[:, :1])], axis=1)
+    return BandLayout(offset=offset, d=d, d_next=d_next, width=width)
+
+
+def band_layout_is_exact(input_lengths, label_lengths, bands: Bands,
+                         t_max: int, s1: int, width: int) -> jnp.ndarray:
+    """[B] bool: the packed (layout, width) covers both DP windows exactly.
+
+    False means the packed path computes the loss of a *tighter* band than
+    requested (offset increments were clamped, or the window span exceeds
+    width). Concrete-input helper for tests and callers choosing W.
+    """
+    layout = compute_band_layout(input_lengths, label_lengths, bands, t_max,
+                                 s1, width)
+    a_lo, a_hi, b_lo, b_hi = _window_bounds(input_lengths, label_lengths,
+                                            bands, t_max, s1)
+    # The window at t must also hold the alpha band of t-1 (emit sources and
+    # alpha_prev-driven gradient cells; see compute_band_layout). At t = 0
+    # the previous "band" is the virtual cell s = 0.
+    pa_lo = jnp.concatenate([jnp.zeros_like(a_lo[:, :1]), a_lo[:, :-1]],
+                            axis=1)
+    pa_hi = jnp.concatenate([jnp.zeros_like(a_hi[:, :1]), a_hi[:, :-1]],
+                            axis=1)
+    ilen = input_lengths.astype(jnp.int32)[:, None]
+    t_valid = jnp.arange(t_max, dtype=jnp.int32)[None, :] < ilen
+    top = layout.offset + layout.width - 1
+    ok = ((a_hi < a_lo) | ((a_lo >= layout.offset) & (a_hi <= top)))
+    ok &= ((b_hi < b_lo) | ((b_lo >= layout.offset) & (b_hi <= top)))
+    ok &= ((pa_hi < pa_lo) | ((pa_lo >= layout.offset) & (pa_hi <= top)))
+    return jnp.all(ok | ~t_valid, axis=1)
+
+
+def required_band_width(input_lengths, label_lengths, bands: Bands,
+                        t_max: int, s1: int) -> jnp.ndarray:
+    """Smallest W such that band_layout_is_exact holds (scalar int32).
+
+    Concrete-input helper: call outside jit with real band arrays to size W
+    (then round up to a multiple of 8 for clean Mosaic sublane tiling).
+    Clipping the actual width-W layout's offsets to s1 - W only ever lowers
+    them below these raw offsets, so the span measured here stays covered.
+    """
+    o_raw = _raw_offsets(input_lengths, label_lengths, bands, t_max, s1)
+    offset = jnp.concatenate([jnp.zeros_like(o_raw[:, :1]), o_raw[:, :-1]],
+                             axis=1)
+    a_lo, a_hi, b_lo, b_hi = _window_bounds(input_lengths, label_lengths,
+                                            bands, t_max, s1)
+    pa_hi = jnp.concatenate([jnp.zeros_like(a_hi[:, :1]), a_hi[:, :-1]],
+                            axis=1)
+    ilen = input_lengths.astype(jnp.int32)[:, None]
+    t_valid = jnp.arange(t_max, dtype=jnp.int32)[None, :] < ilen
+    span = jnp.maximum(jnp.maximum(a_hi, b_hi), pa_hi) - offset + 1
+    return jnp.max(jnp.where(t_valid, span, 1))
+
+
+def clip_bands_to_width(bands: Bands, layout: BandLayout) -> Bands:
+    """The bands the packed path actually computes: max_s clipped to the window."""
+    return Bands(bands.min_s,
+                 jnp.minimum(bands.max_s, layout.offset + layout.width - 1))
+
+
+def band_lattice_masks(input_lengths, label_lengths, bands: Bands,
+                       layout: BandLayout, t_max: int,
+                       s1: int) -> LatticeMasks:
+    """Alpha/beta reachability masks in packed band coordinates [B, T, W]."""
+    clipped = clip_bands_to_width(bands, layout)
+    ilen = input_lengths.astype(jnp.int32)[:, None, None]
+    t_idx = jnp.arange(t_max, dtype=jnp.int32)[None, :, None]
+    a_lo, a_hi, b_lo, b_hi = _window_bounds(input_lengths, label_lengths,
+                                            clipped, t_max, s1)
+    s = layout.offset[:, :, None] + jnp.arange(layout.width,
+                                               dtype=jnp.int32)[None, None, :]
+    valid_t = t_idx < ilen
+    alpha = (s >= a_lo[:, :, None]) & (s <= a_hi[:, :, None]) & valid_t
+    beta = (s >= b_lo[:, :, None]) & (s <= b_hi[:, :, None]) & valid_t
+    return LatticeMasks(alpha=alpha, beta=beta)
+
+
+def pack_band(x: jnp.ndarray, layout: BandLayout) -> jnp.ndarray:
+    """Gather lattice rows into the packed window.
+
+    x: [B, T, S1] or [B, T, S1, V] -> [B, T, W(, V)]. Reads only the gathered
+    rows (XLA gather is O(output)), so packing a full tensor costs one
+    band-sized read + write.
+    """
+    idx = layout.offset[:, :, None] + jnp.arange(layout.width,
+                                                 dtype=jnp.int32)[None, None, :]
+    if x.ndim == 4:
+        return jnp.take_along_axis(x, idx[..., None], axis=2)
+    return jnp.take_along_axis(x, idx, axis=2)
+
+
+def unpack_band(x_band: jnp.ndarray, layout: BandLayout, s1: int,
+                fill=0.0) -> jnp.ndarray:
+    """Scatter a packed [B, T, W(, V)] tensor back to the [B, T, S1(, V)] lattice.
+
+    Out-of-band cells get `fill`. Costs a full-lattice write — use only at
+    the boundary to full-layout consumers (tests, interop); the loss itself
+    stays in band layout.
+    """
+    batch, t_max = x_band.shape[:2]
+    idx = layout.offset[:, :, None] + jnp.arange(layout.width,
+                                                 dtype=jnp.int32)[None, None, :]
+    out_shape = (batch, t_max, s1) + x_band.shape[3:]
+    out = jnp.full(out_shape, fill, dtype=x_band.dtype)
+    b_idx = jnp.arange(batch)[:, None, None]
+    t_idx = jnp.arange(t_max)[None, :, None]
+    return out.at[b_idx, t_idx, idx].set(x_band)

@@ -90,10 +90,11 @@ def rnnt_loss_fused_joint(
                         f"enc must be [B,T,De] and pred [B,S+1,Dp] with the "
                         f"same B; got {enc.shape} and {pred.shape}")
     if labels.ndim != 2 or labels.shape[0] != enc.shape[0] or (
-            labels.shape[1] < pred.shape[1] - 1):
+            labels.shape[1] < pred.shape[1] - 1) or (
+            labels.shape[1] > pred.shape[1]):
         raise RnntError(Status.INVALID_VALUE,
-                        f"labels must be [B, >= S]; got {labels.shape} with "
-                        f"pred S+1 = {pred.shape[1]}")
+                        f"labels must be [B, S] or [B, S+1]; got "
+                        f"{labels.shape} with pred S+1 = {pred.shape[1]}")
     for name, arr in (("input_lengths", input_lengths),
                       ("label_lengths", label_lengths)):
         if arr.shape != (enc.shape[0],) or not jnp.issubdtype(

@@ -1,0 +1,111 @@
+"""Fused banded Pallas pipeline (the alignment-restricted TPU hot path).
+
+Mirrors ops/pallas/fused.py on the packed [B, T, W, V] band layout
+(ops/bands.py): HBM traffic is 2 reads + 1 write of the *band* tensor, i.e.
+W/(S+1) of the unrestricted pipeline's — the TPU equivalent of the
+reference's band-pruned storage and kernels (cpu_workspace_manager.h:286-297,
+gpu_rnnt_kernel.h:58-72). The small [B, T, W] glue (masks, occupancy
+coefficients, ll gather) stays in XLA, shared with the banded oracle in
+ops/banded.py so the two paths cannot diverge on band semantics.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ...utils.config import get_config
+from ...utils.debug import emit_loss_debug
+from ..banded import band_labels, band_occupancy_coefficients
+from ..bands import Bands, band_lattice_masks, compute_band_layout
+from ..helpers import NEG_INF, mask_to_additive, shift_left_s
+from .kernels import (alpha_scan_banded, dp_tiles_banded, fwdbwd_scan_banded,
+                      grad_pass, softmax_stats)
+
+
+def rnnt_loss_banded_pallas(
+    logits_band: jnp.ndarray,
+    labels: jnp.ndarray,
+    input_lengths: jnp.ndarray,
+    label_lengths: jnp.ndarray,
+    bands: Bands,
+    blank_id: int = 0,
+    with_grads: bool = True,
+    interpret: Optional[bool] = None,
+) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
+    """Banded costs (+ packed-layout grads) via the fused Pallas pipeline.
+
+    Same contract as ops.banded.rnnt_loss_banded_reference.
+    """
+    cfg = get_config()
+    if interpret is None:
+        interpret = cfg.interpret
+    batch, t_max, w, v = logits_band.shape
+    s1 = labels.shape[1] + 1
+    ilen = input_lengths.astype(jnp.int32)
+    slen = label_lengths.astype(jnp.int32)
+
+    layout = compute_band_layout(ilen, slen, bands, t_max, s1, w)
+    masks = band_lattice_masks(ilen, slen, bands, layout, t_max, s1)
+    lab_band = band_labels(labels, slen, layout, s1)
+
+    denom, lp_blank, lpl_raw = softmax_stats(logits_band, lab_band, blank_id,
+                                             interpret=interpret)
+    lp_label = jnp.where(lab_band >= 0, lpl_raw, NEG_INF)
+
+    # Fold the reachability masks into the transition scores (see kernels.py;
+    # the alpha emit mask is pre-shifted onto the source slot) and pad B/T so
+    # every DP block is full. Pad value NEG_INF keeps padded rows off-lattice.
+    amask = mask_to_additive(masks.alpha)
+    _, b_pad, _, t_pad = dp_tiles_banded(batch, t_max, w)
+
+    def _pad_small(x, fill):
+        return jnp.pad(x, ((0, b_pad - batch), (0, t_pad - t_max), (0, 0)),
+                       constant_values=fill)
+
+    d_p = _pad_small(layout.d[:, :, None], 0)
+    lpba_p = _pad_small(lp_blank + amask, NEG_INF)
+    lpla_p = _pad_small(lp_label + shift_left_s(amask), NEG_INF)
+
+    if with_grads:
+        # One bidirectional kernel advances both serial chains per step —
+        # the scans' wall time is loop/dependency latency, not VPU work.
+        bmask = mask_to_additive(masks.beta)
+        w_idx = jnp.arange(w, dtype=jnp.int32)[None, None, :]
+        o_next = layout.offset + layout.d_next
+        bvirt = mask_to_additive(
+            o_next[:, :, None] + w_idx == slen[:, None, None])
+        ilen_p = jnp.pad(ilen, (0, b_pad - batch), constant_values=1)
+        alphas, betas = fwdbwd_scan_banded(
+            lpba_p, lpla_p, d_p,
+            _pad_small(lp_blank + bmask, NEG_INF),
+            _pad_small(lp_label + bmask, NEG_INF),
+            _pad_small(layout.d_next[:, :, None], 0),
+            ilen_p[:, None, None], _pad_small(bvirt, NEG_INF),
+            interpret=interpret)
+        alphas = alphas[:batch, :t_max]
+        betas = betas[:batch, :t_max]
+    else:
+        alphas = alpha_scan_banded(lpba_p, lpla_p, d_p,
+                                   interpret=interpret)[:batch, :t_max]
+
+    last_t = jnp.clip(ilen - 1, 0)
+    o_last = jnp.take_along_axis(layout.offset, last_t[:, None], axis=1)[:, 0]
+    w_ll = slen - o_last
+    alpha_last = jnp.take_along_axis(alphas, last_t[:, None, None],
+                                     axis=1)[:, 0, :]
+    ll_fwd = jnp.take_along_axis(alpha_last, jnp.clip(w_ll, 0, w - 1)[:, None],
+                                 axis=1)[:, 0]
+    ll_fwd = jnp.where((w_ll >= 0) & (w_ll < w), ll_fwd, NEG_INF)
+    costs = -ll_fwd
+    if not with_grads:
+        return costs, None
+
+    occ, cb, cl = band_occupancy_coefficients(alphas, betas, ll_fwd, ilen,
+                                              slen, layout)
+    grads = grad_pass(logits_band, denom, occ, cb, cl, lab_band, blank_id,
+                      out_dtype=logits_band.dtype, interpret=interpret)
+    emit_loss_debug(ll_fwd, betas[:, 0, 0], grads)
+    return costs, grads

@@ -125,6 +125,23 @@ def dp_tiles(batch: int, t_max: int, s1: int):
     return bt, b_pad, tt, t_pad
 
 
+def dp_tiles_banded(batch: int, t_max: int, w: int):
+    """DP tiling for the packed band layout (narrow rows, long T).
+
+    Same contract as dp_tiles, but the time tile grows toward the whole
+    sequence while the 5 [BT, TT, W] buffers (x2 double-buffered) fit the
+    VMEM budget: band rows are narrow (W ~ tens vs S hundreds), and the
+    banded regime exists for LONG utterances, where per-grid-step pipeline
+    overhead on a serial scan would otherwise dominate.
+    """
+    bt, b_pad, _, _ = dp_tiles(batch, t_max, w)
+    row_bytes = round_up(w, 128) * 4
+    budget_rows = 3 * _VMEM_BUDGET_BYTES // (10 * bt * row_bytes)
+    tt = min(round_up(t_max, 8), max(128, budget_rows // 8 * 8))
+    t_pad = round_up(t_max, tt)
+    return bt, b_pad, tt, t_pad
+
+
 # ---------------------------------------------------------------------------
 # Kernel 1: fused log-softmax statistics
 # ---------------------------------------------------------------------------
@@ -148,9 +165,9 @@ def _stats_kernel(x_ref, lab_ref, denom_ref, lpb_ref, lpl_ref, m_sc, se_sc,
     x = jnp.where(v_global < v_total, x, NEG_INF)
 
     m_blk = jnp.max(x, axis=-1)               # [TT, S1]
-    lab = lab_ref[0, 0]                        # [S1]
+    lab = lab_ref[0]                           # [TT, S1] (per-t label ids)
     blank_hit = jnp.where(v_global == blank_id, x, 0.0)
-    label_hit = jnp.where(v_global == lab[None, :, None], x, 0.0)
+    label_hit = jnp.where(v_global == lab[:, :, None], x, 0.0)
     g_blk = jnp.stack([jnp.sum(blank_hit, axis=-1),
                        jnp.sum(label_hit, axis=-1)])  # [2, TT, S1]
 
@@ -184,10 +201,15 @@ def softmax_stats(logits: jnp.ndarray, labels_ext: jnp.ndarray, blank_id: int,
     Args:
       logits: [B, T, S1, V].
       labels_ext: [B, S1] int32 label ids per s-slot (-1 where s >= S_b; the
-        caller masks lp_label to -inf on those slots).
+        caller masks lp_label to -inf on those slots). May also be [B, T, S1]
+        when the label id per slot varies with t (packed band layout, where
+        slot w maps to lattice row offset[t] + w — see ops/bands.py).
     Returns (denom, lp_blank, lp_label_raw), each [B, T, S1] f32.
     """
     batch, t_max, s1, v = logits.shape
+    if labels_ext.ndim == 2:
+        labels_ext = jnp.broadcast_to(labels_ext[:, None, :],
+                                      (batch, t_max, s1))
     tt, vt = tiles or pick_tv_tiles(t_max, s1, v, n_bufs=1)
     grid = (batch, pl.cdiv(t_max, tt), pl.cdiv(v, vt))
 
@@ -201,7 +223,7 @@ def softmax_stats(logits: jnp.ndarray, labels_ext: jnp.ndarray, blank_id: int,
         in_specs=[
             pl.BlockSpec((1, tt, s1, vt), lambda b, j, jv: (b, j, 0, jv),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, s1), lambda b, j, jv: (b, 0, 0),
+            pl.BlockSpec((1, tt, s1), lambda b, j, jv: (b, j, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(small_spec, small_spec, small_spec),
@@ -213,7 +235,7 @@ def softmax_stats(logits: jnp.ndarray, labels_ext: jnp.ndarray, blank_id: int,
             dimension_semantics=("parallel", "parallel", "arbitrary"),
             vmem_limit_bytes=_VMEM_LIMIT.vmem_limit_bytes),
         interpret=interpret,
-    )(logits, labels_ext[:, None, :])
+    )(logits, labels_ext)
 
 
 def _stats_partial_kernel(x_ref, m_ref, se_ref, m_sc, se_sc, *, v_total,
@@ -415,6 +437,219 @@ def beta_scan(lp_blank, lp_label, beta_maskadd, input_lengths, beta_virtual,
 
 
 # ---------------------------------------------------------------------------
+# Kernel 2b: banded wavefront scans (packed [B, T, W] layout, ops/bands.py)
+# ---------------------------------------------------------------------------
+#
+# Same recurrences as alpha/beta above, re-indexed to the packed band window:
+# slot (t, w) is lattice cell (t, offset[t] + w), and neighbours at t+-1 are
+# realigned by the per-(b, t) window shift d in {0, 1} — a pair of lane rolls
+# plus a row select. Reachability masks arrive pre-folded into the transition
+# scores (LSE(a, b) + m == LSE(a + m, b + m)), saving one operand stream.
+# This is how the reference's band-clamped DP loops (gpu_rnnt_kernel.h:58-72)
+# become branch-free vector code.
+
+
+def _alpha_band_kernel(lpb_ref, lpl_ref, d_ref, alphas_ref, carry):
+    j = pl.program_id(1)
+    bt, tt, w = alphas_ref.shape
+
+    @pl.when(j == 0)
+    def _():
+        # alpha(-1, .) = [s == 0]; the virtual row lives at offset 0 = slot 0.
+        lane = jax.lax.broadcasted_iota(jnp.int32, (bt, w), 1)
+        carry[...] = jnp.where(lane == 0, 0.0, NEG_INF)
+
+    def body(i, _):
+        prev = carry[...]
+        shifted = d_ref[:, i, :] == 1              # [BT, 1]
+        # Realign alpha(t-1) into the coordinates of t (rows sit at w + d[t]),
+        # then the standard recurrence: emit enters s from s-1 consuming
+        # lp_label(t, s-1); the caller pre-shifts the emit mask accordingly.
+        aligned = jnp.where(shifted, _shift_down_s(prev), prev)
+        no_emit = aligned + lpb_ref[:, i, :]
+        emit = _shift_up_s(aligned + lpl_ref[:, i, :])
+        new = log_sum_exp(no_emit, emit)
+        carry[...] = new
+        alphas_ref[:, i, :] = new
+        return 0
+
+    jax.lax.fori_loop(0, tt, body, 0)
+
+
+def _beta_band_kernel(lpb_ref, lpl_ref, dn_ref, ilen_ref, bvirt_ref,
+                      betas_ref, carry, *, tt):
+    j = pl.program_id(1)
+    bt, _, w = betas_ref.shape
+
+    @pl.when(j == 0)
+    def _():
+        carry[...] = jnp.full((bt, w), NEG_INF, jnp.float32)
+
+    t0 = (pl.num_programs(1) - 1 - j) * tt
+
+    def body(i, _):
+        ti = tt - 1 - i
+        t = t0 + ti
+        use_virtual = t + 1 >= ilen_ref[:, :, 0]   # [BT, 1]
+        nxt = jnp.where(use_virtual, bvirt_ref[:, ti, :], carry[...])
+        shifted = dn_ref[:, ti, :] == 1
+        # beta(t+1) rows sit at w - d_next: d_next == 1 reads nxt[w-1]
+        # (no-emit) and nxt[w] (emit); d_next == 0, nxt[w] and nxt[w+1].
+        no_emit = jnp.where(shifted, _shift_up_s(nxt), nxt) + lpb_ref[:, ti, :]
+        emit = jnp.where(shifted, nxt, _shift_down_s(nxt)) + lpl_ref[:, ti, :]
+        new = log_sum_exp(no_emit, emit)
+        carry[...] = new
+        betas_ref[:, ti, :] = new
+        return 0
+
+    jax.lax.fori_loop(0, tt, body, 0)
+
+
+def _fwdbwd_band_kernel(lpba_ref, lpla_ref, d_ref, lpbb_ref, lplb_ref,
+                        dn_ref, ilen_ref, bvirt_ref, alphas_ref, betas_ref,
+                        acarry, bcarry, *, tt):
+    """Bidirectional banded DP: one loop iteration advances alpha at row i
+    AND beta at row tt-1-i. The two chains are independent, so fusing them
+    halves the serial wall time of the scan phase (the per-step vector work
+    is tiny; the cost is dependency-chain latency and loop overhead, both
+    shared here). Alpha blocks stream forward, beta blocks backward — each
+    operand carries its own index map.
+    """
+    j = pl.program_id(1)
+    bt, _, w = alphas_ref.shape
+
+    @pl.when(j == 0)
+    def _():
+        lane = jax.lax.broadcasted_iota(jnp.int32, (bt, w), 1)
+        acarry[...] = jnp.where(lane == 0, 0.0, NEG_INF)
+        bcarry[...] = jnp.full((bt, w), NEG_INF, jnp.float32)
+
+    t0b = (pl.num_programs(1) - 1 - j) * tt
+
+    def body(i, _):
+        # Forward (alpha) step at local row i — see _alpha_band_kernel.
+        prev = acarry[...]
+        shifted = d_ref[:, i, :] == 1
+        aligned = jnp.where(shifted, _shift_down_s(prev), prev)
+        anew = log_sum_exp(aligned + lpba_ref[:, i, :],
+                           _shift_up_s(aligned + lpla_ref[:, i, :]))
+        acarry[...] = anew
+        alphas_ref[:, i, :] = anew
+
+        # Backward (beta) step at local row tt-1-i — see _beta_band_kernel.
+        ti = tt - 1 - i
+        use_virtual = t0b + ti + 1 >= ilen_ref[:, :, 0]
+        nxt = jnp.where(use_virtual, bvirt_ref[:, ti, :], bcarry[...])
+        dn1 = dn_ref[:, ti, :] == 1
+        bnew = log_sum_exp(
+            jnp.where(dn1, _shift_up_s(nxt), nxt) + lpbb_ref[:, ti, :],
+            jnp.where(dn1, nxt, _shift_down_s(nxt)) + lplb_ref[:, ti, :])
+        bcarry[...] = bnew
+        betas_ref[:, ti, :] = bnew
+        return 0
+
+    jax.lax.fori_loop(0, tt, body, 0)
+
+
+def fwdbwd_scan_banded(lpb_amask, lpl_amask, d, lpb_bmask, lpl_bmask, d_next,
+                       input_lengths, beta_virtual, interpret: bool = False):
+    """Fused banded alpha+beta scans; returns (alphas, betas) [B, T, W].
+
+    Operand contracts match alpha_scan_banded / beta_scan_banded (masks
+    pre-folded; the alpha emit mask pre-shifted onto the source slot).
+    """
+    batch, t_max, w = lpb_amask.shape
+    bt, _, tt, _ = dp_tiles_banded(batch, t_max, w)
+    grid = (batch // bt, t_max // tt)
+    fwd = _dp_spec(bt, tt, w, reverse_t=False)
+    bwd = _dp_spec(bt, tt, w, reverse_t=True)
+    d_fwd = pl.BlockSpec((bt, tt, 1), lambda b, j: (b, j, 0),
+                         memory_space=pltpu.VMEM)
+    d_bwd = pl.BlockSpec((bt, tt, 1),
+                         lambda b, j: (b, pl.num_programs(1) - 1 - j, 0),
+                         memory_space=pltpu.VMEM)
+    ilen_spec = pl.BlockSpec((bt, 1, 1), lambda b, j: (b, 0, 0),
+                             memory_space=pltpu.VMEM)
+    out = _struct((batch, t_max, w), jnp.float32,
+                  _vma(lpb_amask, lpl_amask, d, lpb_bmask, lpl_bmask,
+                       d_next, input_lengths))
+    return pl.pallas_call(
+        functools.partial(_fwdbwd_band_kernel, tt=tt),
+        grid=grid,
+        in_specs=[fwd, fwd, d_fwd, bwd, bwd, d_bwd, ilen_spec, bwd],
+        out_specs=(fwd, bwd),
+        out_shape=(out, out),
+        scratch_shapes=[pltpu.VMEM((bt, w), jnp.float32),
+                        pltpu.VMEM((bt, w), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=_VMEM_LIMIT.vmem_limit_bytes),
+        interpret=interpret,
+    )(lpb_amask, lpl_amask, d, lpb_bmask, lpl_bmask, d_next, input_lengths,
+      beta_virtual)
+
+
+def alpha_scan_banded(lpb_masked, lpl_masked, d, interpret: bool = False):
+    """Banded forward DP; transition scores carry the folded alpha mask.
+
+    lpb_masked / lpl_masked: [B, T, W] f32; d: [B, T, 1] int32 window shifts.
+    B and T must already be padded to full tiles (ops/pallas/banded.py).
+    """
+    batch, t_max, w = lpb_masked.shape
+    bt, _, tt, _ = dp_tiles_banded(batch, t_max, w)
+    grid = (batch // bt, t_max // tt)
+    spec = _dp_spec(bt, tt, w, reverse_t=False)
+    d_spec = pl.BlockSpec((bt, tt, 1), lambda b, j: (b, j, 0),
+                          memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _alpha_band_kernel,
+        grid=grid,
+        in_specs=[spec, spec, d_spec],
+        out_specs=spec,
+        out_shape=_struct((batch, t_max, w), jnp.float32,
+                          _vma(lpb_masked, lpl_masked, d)),
+        scratch_shapes=[pltpu.VMEM((bt, w), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=_VMEM_LIMIT.vmem_limit_bytes),
+        interpret=interpret,
+    )(lpb_masked, lpl_masked, d)
+
+
+def beta_scan_banded(lpb_masked, lpl_masked, d_next, input_lengths,
+                     beta_virtual, interpret: bool = False):
+    """Banded backward DP (folded beta mask).
+
+    d_next: [B, T, 1] int32 (d[t+1], 0 in the last column); beta_virtual:
+    [B, T, W] f32 — the [s == S_b] boundary row expressed in the packed
+    coordinates of t+1; input_lengths: [B, 1, 1] int32.
+    """
+    batch, t_max, w = lpb_masked.shape
+    bt, _, tt, _ = dp_tiles_banded(batch, t_max, w)
+    grid = (batch // bt, t_max // tt)
+    spec = _dp_spec(bt, tt, w, reverse_t=True)
+    dn_spec = pl.BlockSpec((bt, tt, 1),
+                           lambda b, j: (b, pl.num_programs(1) - 1 - j, 0),
+                           memory_space=pltpu.VMEM)
+    ilen_spec = pl.BlockSpec((bt, 1, 1), lambda b, j: (b, 0, 0),
+                             memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_beta_band_kernel, tt=tt),
+        grid=grid,
+        in_specs=[spec, spec, dn_spec, ilen_spec, spec],
+        out_specs=spec,
+        out_shape=_struct((batch, t_max, w), jnp.float32,
+                          _vma(lpb_masked, lpl_masked, d_next,
+                               input_lengths)),
+        scratch_shapes=[pltpu.VMEM((bt, w), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=_VMEM_LIMIT.vmem_limit_bytes),
+        interpret=interpret,
+    )(lpb_masked, lpl_masked, d_next, input_lengths, beta_virtual)
+
+
+# ---------------------------------------------------------------------------
 # Kernel 3: fused gradient
 # ---------------------------------------------------------------------------
 
@@ -427,7 +662,7 @@ def _grad_kernel(x_ref, denom_ref, occ_ref, cb_ref, cl_ref, lab_ref, grad_ref,
 
     v_global = jv * vt + jax.lax.broadcasted_iota(jnp.int32, x.shape, 2)
     blank_mask = v_global == blank_id
-    label_mask = v_global == lab_ref[0, 0][None, :, None]
+    label_mask = v_global == lab_ref[0][:, :, None]
 
     coef = (occ_ref[0][..., None]
             - jnp.where(blank_mask, cb_ref[0][..., None], 0.0)
@@ -443,22 +678,24 @@ def grad_pass(logits, denom, occ, cb, cl, labels_ext, blank_id: int,
 
     Elementwise in V given the per-cell coefficients, so the V axis tiles
     freely (large-vocab regime); overhanging lanes in the last V-block write
-    garbage that the out_shape clips.
+    garbage that the out_shape clips. labels_ext may be [B, S1] or [B, T, S1]
+    (band layout; see softmax_stats).
     """
     batch, t_max, s1, v = logits.shape
+    if labels_ext.ndim == 2:
+        labels_ext = jnp.broadcast_to(labels_ext[:, None, :],
+                                      (batch, t_max, s1))
     tt, vt = tiles or pick_tv_tiles(t_max, s1, v, n_bufs=2)
     grid = (batch, pl.cdiv(t_max, tt), pl.cdiv(v, vt))
     big_spec = pl.BlockSpec((1, tt, s1, vt), lambda b, j, jv: (b, j, 0, jv),
                             memory_space=pltpu.VMEM)
     small_spec = pl.BlockSpec((1, tt, s1), lambda b, j, jv: (b, j, 0),
                               memory_space=pltpu.VMEM)
-    lab_spec = pl.BlockSpec((1, 1, s1), lambda b, j, jv: (b, 0, 0),
-                            memory_space=pltpu.VMEM)
     return pl.pallas_call(
         functools.partial(_grad_kernel, blank_id=blank_id, vt=vt),
         grid=grid,
         in_specs=[big_spec, small_spec, small_spec, small_spec, small_spec,
-                  lab_spec],
+                  small_spec],
         out_specs=big_spec,
         out_shape=_struct((batch, t_max, s1, v), out_dtype,
                           _vma(logits, denom, occ)),
@@ -466,4 +703,4 @@ def grad_pass(logits, denom, occ, cb, cl, labels_ext, blank_id: int,
             dimension_semantics=("parallel", "parallel", "parallel"),
             vmem_limit_bytes=_VMEM_LIMIT.vmem_limit_bytes),
         interpret=interpret,
-    )(logits, denom, occ, cb, cl, labels_ext[:, None, :])
+    )(logits, denom, occ, cb, cl, labels_ext)

@@ -33,6 +33,7 @@ from typing import NamedTuple, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
+from ..utils.debug import emit_loss_debug
 from .bands import Bands, LatticeMasks, default_bands, lattice_masks
 from .helpers import (NEG_INF, extend_labels, log_sum_exp, mask_to_additive,
                       shift_left_s, shift_right_s)
@@ -236,6 +237,5 @@ def rnnt_loss_reference(
         alphas, betas, ll_fwd, input_lengths, label_lengths)
     grads = gradients_from_coefficients(
         logits, stats.denom, labels, label_lengths, occ, cb, cl, blank_id)
-    from ..utils.debug import emit_loss_debug
     emit_loss_debug(ll_fwd, ll_bwd, grads)
     return costs, grads

@@ -85,9 +85,18 @@ def local_batch_slice(global_batch: int, mesh: Mesh) -> Tuple[int, int]:
     procs = max(1, jax.process_count())
     if procs >= n_data:
         # >= 1 process per shard: processes sharing a shard get the same
-        # slice (procs_per_shard of them each feed identical data).
-        procs_per_shard = procs // n_data
-        shard = min(idx // max(1, procs_per_shard), n_data - 1)
+        # slice (procs_per_shard of them each feed identical data). A
+        # non-divisible ratio would need JAX's actual device->process layout
+        # to assign the remainder correctly — reject rather than guess.
+        if procs % n_data:
+            raise ValueError(
+                f"process count {procs} not divisible by data axis {n_data}; "
+                "shard assignment would depend on the device->process layout")
+        shard = idx // (procs // n_data)
         return shard * per, per
+    if n_data % procs:
+        raise ValueError(
+            f"data axis {n_data} not divisible by process count {procs}; "
+            "some shards would never be fed")
     shards_per_proc = n_data // procs
     return idx * shards_per_proc * per, shards_per_proc * per

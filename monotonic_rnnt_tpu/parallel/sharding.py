@@ -38,12 +38,13 @@ def _local_max_sumexp(x_local):
     """Pre-reduction (m, sum-exp) per lattice cell over the local V slice.
 
     On TPU the fused Pallas kernel does this in ONE read of the shard (the
-    XLA formulation below needs a max pass and a sum pass); interpret mode
-    cannot execute kernels inside shard_map, so CPU keeps the XLA path.
+    XLA formulation below needs a max pass and a sum pass). The kernel is
+    gated on the actual device platform, not the config backend: interpret
+    mode cannot execute inside shard_map and a compiled Pallas call can't
+    run on CPU, so any non-TPU host keeps the XLA path regardless of
+    MRNNT_BACKEND.
     """
-    from ..ops.loss import _resolve_backend
-
-    if _resolve_backend(None) == "pallas" and not jax.config.jax_disable_jit:
+    if jax.default_backend() == "tpu" and not jax.config.jax_disable_jit:
         from ..ops.pallas.kernels import softmax_stats_partial
 
         return softmax_stats_partial(x_local)

@@ -64,13 +64,22 @@ def emit_loss_debug(ll_fwd, ll_bwd=None, grads=None) -> None:
       debug_fwdbwd  — print per-sample forward/backward log-likelihoods;
       check_fwd_bwd — warn (only) when |ll_fwd - ll_bwd| > fwd_bwd_tol;
       debug_grads   — print gradient summary statistics.
+
+    The flags are read at *trace* time: set them before the first call of a
+    jitted loss (an already-compiled function won't notice a toggle until its
+    cache is cleared, e.g. jax.clear_caches()).
     """
+    cfg = get_config()
+    wants_debug = ((ll_bwd is not None
+                    and (cfg.debug_fwdbwd or cfg.check_fwd_bwd))
+                   or (grads is not None and cfg.debug_grads))
+    if not wants_debug:
+        return
+
     import jax
     import jax.numpy as jnp
 
-    cfg = get_config()
-    if ((cfg.debug_fwdbwd or cfg.check_fwd_bwd or cfg.debug_grads)
-            and not _callbacks_supported()):
+    if not _callbacks_supported():
         return
     if ll_bwd is not None and cfg.debug_fwdbwd:
         jax.debug.print("mrnnt fwdbwd: ll_fwd={f} ll_bwd={b}",

@@ -82,4 +82,32 @@ def dependent_loop_bench(
 
 def default_perturb(x, acc):
     """Cheap in-place data dependence: nudge one lane by an epsilon of acc."""
-    return x.at[(0,) * (x.ndim - 1) + (slice(0, 1),)].add(acc * 1e-20)
+    return x.at[(0,) * (x.ndim - 1) + (slice(0, 1),)].add(
+        (acc * 1e-20).astype(x.dtype))
+
+
+def corrected_loop_bench(
+    step_fn: Callable,
+    perturb_fn: Callable,
+    feedback_fn: Callable,
+    args: Tuple,
+    iters: int = 100,
+    trials: int = 3,
+) -> Tuple[float, float]:
+    """dependent_loop_bench with the fixed per-dispatch cost removed.
+
+    Tunneled runtimes (axon) add a large constant per *dispatch* (~30 ms
+    measured) that dependent_loop_bench folds into every trial. Timing the
+    same chain at iters and iters/4 and solving t(n) = overhead + n * per_iter
+    separates the two. Returns (per_iter_seconds, dispatch_overhead_seconds);
+    per_iter is the honest asymptotic throughput number.
+    """
+    lo = max(1, iters // 4)
+    t_hi, _ = dependent_loop_bench(step_fn, perturb_fn, feedback_fn, args,
+                                   iters=iters, trials=trials)
+    t_lo, _ = dependent_loop_bench(step_fn, perturb_fn, feedback_fn, args,
+                                   iters=lo, trials=trials)
+    # t_hi/t_lo are per-iter means: total_n = overhead + n * per_iter.
+    per_iter = (t_hi * iters - t_lo * lo) / (iters - lo)
+    overhead = max(0.0, (t_lo - per_iter) * lo)
+    return float(per_iter), float(overhead)

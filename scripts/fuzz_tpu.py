@@ -2,9 +2,10 @@
 
 Draws random configurations — shapes, dtypes, degenerate lengths (S_b = 0,
 T_b = S_b, T_b = 1), random alignment bands — and checks costs and gradients
-agree. Run on a TPU host:
+agree; banded cases additionally run through the packed band-layout pipeline.
+Run on a TPU host:
 
-    python scripts/fuzz_tpu.py [--cases 30] [--seed 0]
+    python scripts/fuzz_tpu.py [--cases 30] [--seed 0] [--json-out FILE]
 
 Exits nonzero on the first disagreement, printing the reproducer config.
 """
@@ -22,7 +23,17 @@ def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--cases", type=int, default=30)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--json-out", default=None)
     args = p.parse_args(argv)
+
+    def finish(rc, case_desc=None):
+        if args.json_out:
+            import json
+
+            Path(args.json_out).write_text(json.dumps({
+                "cases": args.cases, "ok": rc == 0,
+                "failed_case": case_desc}) + chr(10))
+        return rc
 
     import jax
     import jax.numpy as jnp
@@ -100,7 +111,7 @@ def main(argv=None):
         inf1, inf2 = ~np.isfinite(c1), ~np.isfinite(c2)
         if (inf1 != inf2).any():
             print(f"FAIL {desc}: feasibility mismatch {c1} vs {c2}")
-            return 1
+            return finish(1, desc)
         fin = ~inf1
         tol_c = 2e-2 if bf16 else 2e-3
         tol_g = 2e-2 if bf16 else 1e-3
@@ -109,14 +120,44 @@ def main(argv=None):
         if ce > tol_c * max(1.0, float(np.abs(np.where(fin, c2, 0)).max())) \
                 or ge > tol_g:
             print(f"FAIL {desc}: cost err {ce}, grad err {ge}")
-            return 1
+            return finish(1, desc)
         if not (np.isfinite(g1).all() and np.isfinite(g2).all()):
             print(f"FAIL {desc}: non-finite grads")
-            return 1
+            return finish(1, desc)
+        # Banded cases also exercise the packed band-layout pipeline.
+        if use_band:
+            from monotonic_rnnt_tpu.ops.bands import (compute_band_layout,
+                                                      pack_band,
+                                                      required_band_width,
+                                                      unpack_band)
+            from monotonic_rnnt_tpu.ops.pallas.banded import \
+                rnnt_loss_banded_pallas
+
+            s1 = labels.shape[1] + 1
+            w = min(s1, -(-int(required_band_width(il, sl, bands, T, s1))
+                          // 8) * 8)
+            layout = compute_band_layout(il, sl, bands, T, s1, w)
+            lb = pack_band(x, layout)
+            c3, g3 = jax.jit(rnnt_loss_banded_pallas,
+                             static_argnames=("blank_id",))(
+                lb, la, il, sl, bands, blank_id=blank)
+            c3 = np.asarray(c3)
+            g3 = np.asarray(unpack_band(g3, layout, s1), dtype=np.float32)
+            if (~np.isfinite(c3) != inf2).any():
+                print(f"FAIL {desc}: packed feasibility mismatch "
+                      f"{c3} vs {c2}")
+                return finish(1, desc)
+            ce3 = float(np.abs(np.where(fin, c3 - c2, 0.0)).max())
+            ge3 = float(np.abs(g3 - g2).max())
+            if ce3 > tol_c * max(1.0, float(
+                    np.abs(np.where(fin, c2, 0)).max())) or ge3 > tol_g:
+                print(f"FAIL {desc}: packed cost err {ce3}, grad err {ge3}")
+                return finish(1, desc)
+
         print(f"ok   {desc}  (cost err {ce:.2e}, grad err {ge:.2e})")
 
     print(f"\nall {args.cases} fuzz cases passed")
-    return 0
+    return finish(0)
 
 
 if __name__ == "__main__":

@@ -1,0 +1,58 @@
+"""Per-round on-device acceptance: kernels + fuzz, persisted as one artifact.
+
+Runs the compiled-kernel acceptance checks (scripts/tpu_acceptance.py) and
+the randomized fuzz sweep (scripts/fuzz_tpu.py) on the attached TPU and
+writes a single JSON record — the role the reference's test_gpu.cu plays
+(compiled-kernel goldens on real hardware, tests/test_gpu.cu:16-83), made
+repeatable and recorded per round:
+
+    python scripts/run_acceptance.py [--out ACCEPTANCE.json] [--cases 30]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="ACCEPTANCE.json")
+    ap.add_argument("--cases", type=int, default=30)
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args(argv)
+
+    import fuzz_tpu
+    import tpu_acceptance
+
+    t0 = time.time()
+    rc_acc = tpu_acceptance.main([])
+    rc_fuzz = fuzz_tpu.main(["--cases", str(args.cases),
+                             "--seed", str(args.seed)])
+
+    import jax
+
+    record = {
+        "device": str(jax.devices()[0]),
+        "elapsed_s": round(time.time() - t0, 1),
+        "acceptance": {
+            "checks": tpu_acceptance.RESULTS,
+            "n_failed": len(tpu_acceptance.failures),
+        },
+        "fuzz": {"cases": args.cases, "seed": args.seed,
+                 "ok": rc_fuzz == 0},
+        "ok": rc_acc == 0 and rc_fuzz == 0,
+    }
+    Path(args.out).write_text(json.dumps(record, indent=1) + "\n")
+    print(f"wrote {args.out}: ok={record['ok']}")
+    return 0 if record["ok"] else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -4,13 +4,15 @@ The pytest suite runs on a virtual CPU mesh (interpret mode); this script is
 the complementary on-device check — run it on a TPU host after kernel
 changes:
 
-    python scripts/tpu_acceptance.py
+    python scripts/tpu_acceptance.py [--json-out FILE]
 
 Covers: golden README lattice through the compiled Pallas pipeline, oracle
 parity on random shapes (single-tile, large-V multi-tile, long-S, banded
-long-sequence), cost-only path, bf16 inputs, and the dp/tp sharded losses on
-a 1-chip mesh. Prints one PASS/FAIL line per check; exits nonzero on any
-failure.
+long-sequence), the packed band-layout pipeline, cost-only path, bf16
+inputs, and the dp/tp sharded losses on a 1-chip mesh. Prints one PASS/FAIL
+line per check; exits nonzero on any failure. With --json-out, persists the
+per-check results (scripts/run_acceptance.py wraps this plus the fuzz sweep
+into the per-round ACCEPTANCE artifact).
 """
 
 from __future__ import annotations
@@ -21,18 +23,28 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 failures = []
+RESULTS = []
 
 
 def check(name, fn):
     try:
         fn()
+        RESULTS.append({"name": name, "ok": True})
         print(f"PASS {name}")
     except Exception as exc:  # noqa: BLE001 - report and continue
         failures.append(name)
+        RESULTS.append({"name": name, "ok": False,
+                        "error": f"{type(exc).__name__}: {str(exc)[:200]}"})
         print(f"FAIL {name}: {type(exc).__name__}: {str(exc)[:200]}")
 
 
-def main():
+def main(argv=None):
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--json-out", default=None)
+    args = ap.parse_args(argv)
+
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -150,6 +162,51 @@ def main():
         assert abs(dp - want) < 1e-3 and abs(tp - want) < 1e-3, (dp, tp, want)
 
     check("dp and dp-tp sharded losses (1-chip mesh)", sharded)
+
+    def banded_packed(B, T, S, V, shift, seed=0, atol_c=1e-3, atol_g=2e-3):
+        from monotonic_rnnt_tpu.ops.banded import rnnt_loss_banded_reference
+        from monotonic_rnnt_tpu.ops.bands import (compute_band_layout,
+                                                  pack_band,
+                                                  required_band_width,
+                                                  unpack_band)
+        from monotonic_rnnt_tpu.ops.pallas.banded import \
+            rnnt_loss_banded_pallas
+
+        rng = np.random.RandomState(seed)
+        logits = jnp.asarray(rng.randn(B, T, S + 1, V).astype(np.float32))
+        labels = jnp.asarray(rng.randint(1, V, (B, S)).astype(np.int32))
+        il = jnp.full((B,), T, jnp.int32)
+        sl = jnp.full((B,), S, jnp.int32)
+        align = np.zeros((B, T), np.int32)
+        for b in range(B):
+            pos = np.sort(rng.choice(T, size=S, replace=False))
+            align[b, pos] = np.asarray(labels[b])
+        bands = bands_from_alignment(jnp.asarray(align), il, sl, shift, 0)
+        w = min(S + 1, -(-int(required_band_width(il, sl, bands, T, S + 1))
+                         // 8) * 8)
+        layout = compute_band_layout(il, sl, bands, T, S + 1, w)
+        lb = pack_band(logits, layout)
+        c1, g1 = jax.jit(rnnt_loss_banded_pallas,
+                         static_argnames=("blank_id",))(lb, labels, il, sl,
+                                                        bands)
+        c2, g2 = f_ref(logits, labels, il, sl, bands=bands)
+        ce = float(jnp.max(jnp.abs(c1 - c2) / (jnp.abs(c2) + 1.0)))
+        ge = float(jnp.max(jnp.abs(unpack_band(g1, layout, S + 1) - g2)))
+        assert ce < atol_c and ge < atol_g, f"rel cost err {ce}, grad err {ge}"
+
+    check("banded packed pipeline (3,64,16,256, shift 2)",
+          lambda: banded_packed(3, 64, 16, 256, 2))
+    check("banded packed long-sequence (2,1600,200,1024, shift 20)",
+          lambda: banded_packed(2, 1600, 200, 1024, 20))
+
+    if args.json_out:
+        import json
+
+        Path(args.json_out).write_text(json.dumps({
+            "device": str(jax.devices()[0]),
+            "checks": RESULTS,
+            "n_failed": len(failures),
+        }, indent=1) + chr(10))
 
     if failures:
         print(f"\n{len(failures)} FAILED: {failures}")

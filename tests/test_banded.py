@@ -1,0 +1,199 @@
+"""Band-pruned (packed-layout) loss: parity with the full-lattice oracle.
+
+The packed [B, T, W, V] path is the TPU counterpart of the reference's
+band-pruned storage/kernels (cpu_workspace_manager.h:286-297,
+gpu_rnnt_kernel.h:58-72): same costs and gradients as the full lattice with
+the same bands, at W/(S+1) of the traffic.
+"""
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from monotonic_rnnt_tpu.ops.banded import (monotonic_rnnt_loss_banded,
+                                           rnnt_loss_banded_reference)
+from monotonic_rnnt_tpu.ops.bands import (band_layout_is_exact,
+                                          bands_from_alignment,
+                                          clip_bands_to_width,
+                                          compute_band_layout, default_bands,
+                                          pack_band, required_band_width,
+                                          unpack_band)
+from monotonic_rnnt_tpu.ops.pallas.banded import rnnt_loss_banded_pallas
+from monotonic_rnnt_tpu.ops.reference import rnnt_loss_reference
+
+import golden
+
+banded_ref = jax.jit(rnnt_loss_banded_reference,
+                     static_argnames=("blank_id", "with_grads"))
+banded_pal = jax.jit(rnnt_loss_banded_pallas,
+                     static_argnames=("blank_id", "with_grads", "interpret"))
+full_ref = jax.jit(rnnt_loss_reference,
+                   static_argnames=("blank_id", "with_grads"))
+
+
+def _random_alignment(rng, batch, t, ilen, slen, v):
+    """Random monotonic alignment: S_b labels at distinct frames < T_b."""
+    align = np.zeros((batch, t), np.int32)
+    for b in range(batch):
+        pos = np.sort(rng.choice(ilen[b], size=slen[b], replace=False))
+        align[b, pos] = rng.randint(1, v, size=slen[b])
+    return align
+
+
+def _banded_case(seed, batch, t, s, v, shift):
+    rng = np.random.RandomState(seed)
+    logits = jnp.asarray(rng.randn(batch, t, s + 1, v).astype(np.float32) * 2)
+    labels = jnp.asarray(rng.randint(1, v, size=(batch, s)).astype(np.int32))
+    ilen = rng.randint(max(s, 1), t + 1, size=(batch,)).astype(np.int32)
+    slen = rng.randint(0, np.minimum(s, ilen) + 1, size=(batch,)).astype(
+        np.int32)
+    align = _random_alignment(rng, batch, t, ilen, slen, v)
+    ilen, slen = jnp.asarray(ilen), jnp.asarray(slen)
+    bands = bands_from_alignment(jnp.asarray(align), ilen, slen, shift, 0)
+    return logits, labels, ilen, slen, bands
+
+
+@pytest.mark.parametrize("seed,batch,t,s,v,shift", [
+    (0, 3, 24, 8, 21, 2),
+    (1, 2, 40, 12, 33, 0),    # exact-path restriction
+    (2, 5, 17, 5, 130, 3),    # V > one lane tile
+])
+def test_banded_reference_matches_full_oracle(seed, batch, t, s, v, shift):
+    logits, labels, ilen, slen, bands = _banded_case(seed, batch, t, s, v,
+                                                     shift)
+    s1 = s + 1
+    w = int(required_band_width(ilen, slen, bands, t, s1))
+    assert np.asarray(band_layout_is_exact(ilen, slen, bands, t, s1, w)).all()
+    layout = compute_band_layout(ilen, slen, bands, t, s1, w)
+    logits_band = pack_band(logits, layout)
+
+    c_full, g_full = full_ref(logits, labels, ilen, slen, bands=bands)
+    c_band, g_band = banded_ref(logits_band, labels, ilen, slen, bands)
+    np.testing.assert_allclose(np.asarray(c_band), np.asarray(c_full),
+                               rtol=1e-5, atol=1e-5)
+    g_scat = unpack_band(g_band, layout, s1)
+    np.testing.assert_allclose(np.asarray(g_scat), np.asarray(g_full),
+                               rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("seed,batch,t,s,v,shift", [
+    (0, 3, 24, 8, 21, 2),
+    (3, 9, 25, 7, 33, 1),     # odd batch (padding path)
+    (2, 5, 17, 5, 130, 3),    # multi-V-block stats/grad
+])
+def test_banded_pallas_matches_banded_reference(seed, batch, t, s, v, shift):
+    logits, labels, ilen, slen, bands = _banded_case(seed, batch, t, s, v,
+                                                     shift)
+    s1 = s + 1
+    w = int(required_band_width(ilen, slen, bands, t, s1))
+    layout = compute_band_layout(ilen, slen, bands, t, s1, w)
+    logits_band = pack_band(logits, layout)
+
+    c_ref, g_ref = banded_ref(logits_band, labels, ilen, slen, bands)
+    c_pal, g_pal = banded_pal(logits_band, labels, ilen, slen, bands,
+                              interpret=True)
+    np.testing.assert_allclose(np.asarray(c_pal), np.asarray(c_ref),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(g_pal), np.asarray(g_ref),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_banded_golden_alignment_losses():
+    """Reference test_cpu.cpp:405-433/532-545 constants on the packed path."""
+    logits, labels, ilen, slen = golden.readme_batch()
+    args = (jnp.asarray(labels), jnp.asarray(ilen), jnp.asarray(slen))
+    for align, losses in ((golden.ALIGN_A, golden.ALIGN_A_LOSSES),
+                          (golden.ALIGN_B, golden.ALIGN_B_LOSSES)):
+        for shift, expected in losses.items():
+            bands = bands_from_alignment(jnp.asarray(align[None]), args[1],
+                                         args[2], shift, 0)
+            w = int(required_band_width(args[1], args[2], bands, 4, 3))
+            layout = compute_band_layout(args[1], args[2], bands, 4, 3, w)
+            lb = pack_band(jnp.asarray(logits), layout)
+            c_ref, _ = banded_ref(lb, *args, bands)
+            c_pal, _ = banded_pal(lb, *args, bands, interpret=True)
+            np.testing.assert_allclose(np.asarray(c_ref), [expected],
+                                       rtol=1e-4, atol=1e-4)
+            np.testing.assert_allclose(np.asarray(c_pal), [expected],
+                                       rtol=1e-4, atol=1e-4)
+
+
+def test_banded_width_clipping_semantics():
+    """A too-narrow W computes the loss of clip_bands_to_width(bands)."""
+    logits, labels, ilen, slen, bands = _banded_case(7, 2, 30, 10, 15, 4)
+    s1 = 11
+    w_req = int(required_band_width(ilen, slen, bands, 30, s1))
+    w = max(2, w_req - 2)
+    assert not np.asarray(
+        band_layout_is_exact(ilen, slen, bands, 30, s1, w)).all()
+    layout = compute_band_layout(ilen, slen, bands, 30, s1, w)
+    logits_band = pack_band(logits, layout)
+    c_band, g_band = banded_ref(logits_band, labels, ilen, slen, bands)
+    clipped = clip_bands_to_width(bands, layout)
+    c_full, g_full = full_ref(logits, labels, ilen, slen, bands=clipped)
+    np.testing.assert_allclose(np.asarray(c_band), np.asarray(c_full),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(unpack_band(g_band, layout, s1)),
+                               np.asarray(g_full), rtol=1e-4, atol=1e-5)
+
+
+def test_pack_unpack_roundtrip():
+    logits, labels, ilen, slen, bands = _banded_case(11, 3, 20, 6, 9, 1)
+    s1 = 7
+    w = int(required_band_width(ilen, slen, bands, 20, s1))
+    layout = compute_band_layout(ilen, slen, bands, 20, s1, w)
+    xb = pack_band(logits, layout)
+    assert xb.shape == (3, 20, w, 9)
+    back = pack_band(unpack_band(xb, layout, s1, fill=-1.0), layout)
+    np.testing.assert_array_equal(np.asarray(back), np.asarray(xb))
+    # 3D variant
+    x3 = logits[..., 0]
+    b3 = pack_band(x3, layout)
+    np.testing.assert_array_equal(
+        np.asarray(pack_band(unpack_band(b3, layout, s1), layout)),
+        np.asarray(b3))
+
+
+def test_banded_public_api_autodiff():
+    """jax.grad through the public banded entry matches the full-lattice VJP."""
+    from monotonic_rnnt_tpu import monotonic_rnnt_loss
+
+    logits, labels, ilen, slen, bands = _banded_case(5, 2, 16, 5, 12, 2)
+    s1 = 6
+    w = int(required_band_width(ilen, slen, bands, 16, s1))
+    layout = compute_band_layout(ilen, slen, bands, 16, s1, w)
+
+    def banded_sum(lb):
+        c = monotonic_rnnt_loss_banded(lb, labels, ilen, slen, bands=bands,
+                                       backend="reference")
+        return jnp.sum(c * jnp.asarray([2.0, -0.5]))
+
+    def full_sum(lg):
+        c = monotonic_rnnt_loss(lg, labels, ilen, slen, bands=bands,
+                                backend="reference")
+        return jnp.sum(c * jnp.asarray([2.0, -0.5]))
+
+    g_band = jax.grad(banded_sum)(pack_band(logits, layout))
+    g_full = jax.grad(full_sum)(logits)
+    np.testing.assert_allclose(np.asarray(unpack_band(g_band, layout, s1)),
+                               np.asarray(g_full), rtol=1e-4, atol=1e-5)
+
+
+def test_banded_cost_only_and_validation():
+    logits, labels, ilen, slen, bands = _banded_case(6, 2, 16, 5, 12, 1)
+    s1 = 6
+    w = int(required_band_width(ilen, slen, bands, 16, s1))
+    layout = compute_band_layout(ilen, slen, bands, 16, s1, w)
+    lb = pack_band(logits, layout)
+    c1, g = banded_ref(lb, labels, ilen, slen, bands, with_grads=False)
+    assert g is None
+    c2, _ = banded_ref(lb, labels, ilen, slen, bands)
+    np.testing.assert_allclose(np.asarray(c1), np.asarray(c2), atol=1e-5)
+
+    from monotonic_rnnt_tpu.utils.status import RnntError
+    with pytest.raises(RnntError):
+        monotonic_rnnt_loss_banded(
+            jnp.zeros((2, 16, s1 + 1, 12)), labels, ilen, slen, bands=bands)

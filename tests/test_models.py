@@ -78,13 +78,20 @@ def test_synthetic_bucketing():
     ds = SyntheticDataset(SyntheticConfig(max_frames=400), batch_size=3,
                           num_buckets=3)
     it = ds.batches()
-    for _ in range(3):
+    shapes = set()
+    for _ in range(30):
         feats, flen, labels, slen = next(it)
         assert feats.shape[0] == 3
         assert np.all(flen <= feats.shape[1])
         assert np.all(slen <= labels.shape[1])
         # bucketing keeps padding waste bounded by the bucket geometry
         assert np.all(slen >= 1)
+        shapes.add((feats.shape, labels.shape))
+    # Static shapes per bucket: both the feature AND label paddings are
+    # bucket constants, so XLA compiles at most one program per bucket.
+    assert len(shapes) <= 3, shapes
+    t_bounds = {s[0][1] for s in shapes}
+    assert len(t_bounds) == len(shapes), shapes  # one label pad per bucket
 
 
 def test_beam_search_beam1_equals_greedy():
