@@ -25,6 +25,8 @@ def main(argv=None):
     p.add_argument("--overfit", action="store_true",
                    help="repeat one batch: loss should collapse and the "
                         "decoders should reproduce the targets")
+    p.add_argument("--json-out", default=None,
+                   help="write the loss curve + decode accuracy as JSON")
     args = p.parse_args(argv)
 
     import jax
@@ -64,23 +66,63 @@ def main(argv=None):
                                learning_rate=3e-3, warmup_steps=5)
     mesh = make_mesh(data=n_dev, model=1)
     step = make_sharded_train_step(mesh)
+    model = MonotonicTransducer(cfg)
+    greedy = jax.jit(lambda p, f, l: model.apply(
+        p, f, l, 6, method=MonotonicTransducer.greedy_decode))
+
+    def label_accuracy(params, batch_np):
+        """1 - normalized edit distance of greedy decodes vs targets."""
+        feats, flen, labels, slen = (jnp.asarray(a) for a in batch_np)
+        hyp, n_hyp = greedy({"params": params}, feats, flen)
+        hyp, n_hyp = np.asarray(hyp), np.asarray(n_hyp)
+        labels, slen = np.asarray(labels), np.asarray(slen)
+        accs = []
+        for b in range(hyp.shape[0]):
+            ref, out = labels[b, :slen[b]], hyp[b, :n_hyp[b]]
+            dp = np.arange(len(out) + 1, dtype=np.int32)
+            for r in ref:
+                prev, dp[0] = dp[0], dp[0] + 1
+                for j1 in range(1, len(out) + 1):
+                    cur = min(dp[j1] + 1, dp[j1 - 1] + 1,
+                              prev + (r != out[j1 - 1]))
+                    prev, dp[j1] = dp[j1], cur
+            accs.append(1.0 - dp[-1] / max(1, len(ref)))
+        return float(np.mean(accs))
+
+    curve, acc_curve = [], []
     first = last = None
+    acc0 = label_accuracy(state.params, first_batch)
     for i in range(args.steps):
         batch_np = next(it)
         state, metrics = step(state, tuple(jnp.asarray(a) for a in batch_np))
         loss = float(metrics["loss"])
         first = first if first is not None else loss
         last = loss
-        if i % 5 == 0 or i == args.steps - 1:
+        if i % 10 == 0 or i == args.steps - 1:
+            curve.append({"step": i, "loss": round(loss, 4)})
+        if i % 50 == 0 or i == args.steps - 1:
+            acc = label_accuracy(state.params, first_batch)
+            acc_curve.append({"step": i, "label_acc": round(acc, 4)})
+            print(f"step {i:3d}  loss {loss:8.4f}  label_acc {acc:.3f}")
+        elif i % 5 == 0:
             print(f"step {i:3d}  loss {loss:8.4f}")
     print(f"loss {first:.4f} -> {last:.4f} over {args.steps} steps")
+    if args.json_out:
+        import json
+
+        Path(args.json_out).write_text(json.dumps({
+            "device": jax.devices()[0].device_kind,
+            "backend": jax.default_backend(),
+            "steps": args.steps, "batch": batch, "overfit": args.overfit,
+            "loss_first": round(first, 4), "loss_last": round(last, 4),
+            "label_acc_init": round(acc0, 4),
+            "label_acc_final": acc_curve[-1]["label_acc"],
+            "loss_curve": curve, "label_acc_curve": acc_curve,
+        }, indent=1) + "\n")
 
     # Decode the last batch, greedy and beam.
-    model = MonotonicTransducer(cfg)
     feats, flen, labels, slen = (jnp.asarray(a) for a in batch_np)
-    hyp, n_hyp = jax.jit(lambda p, f, l: model.apply(
-        p, f, l, 6, method=MonotonicTransducer.greedy_decode))(
-            {"params": state.params}, feats, flen)
+    hyp, n_hyp = greedy({"params": state.params}, feats, flen)
     tok, n_b, score = jax.jit(lambda p, f, l: model.apply(
         p, f, l, 6, args.beam,
         method=MonotonicTransducer.beam_search_decode))(

@@ -9,9 +9,15 @@ backward is the per-sample chain rule
 
     dacts = grad_costs.repeat_interleave(T_b * (S_b + 1))[:, None] * grads
 
-exactly as in the reference (monotonic_rnnt_op.py:96-118). Compute runs on
-the native C++ engine (native/mrnnt.cpp); no CUDA path — for accelerator
-execution use the JAX API, which is the framework's TPU surface.
+exactly as in the reference (monotonic_rnnt_op.py:96-118). Two engines:
+
+  * packed layout (`monotonic_rnnt_loss`): the native C++ engine on CPU
+    tensors — the reference's CPU binding role;
+  * padded layout (`monotonic_rnnt_loss_padded`): the JAX engine through a
+    dlpack bridge — torch tensors run the framework's accelerator path (the
+    fused Pallas pipeline when the default JAX backend is TPU), the role of
+    the reference's GPU torch binding (pytorch_binding/monotonic_rnnt.cu:
+    81-114). CPU torch tensors cross into JAX zero-copy via dlpack.
 
 Note: the reference's MonotonicRNNTLoss module references `self.blank` while
 its ctor sets `self.blank_label` (a latent AttributeError,
@@ -19,6 +25,8 @@ monotonic_rnnt_op.py:176/214); this implementation fixes that.
 """
 
 from __future__ import annotations
+
+import functools
 
 import numpy as np
 
@@ -82,6 +90,109 @@ def monotonic_rnnt_loss(acts, labels, input_lengths, label_lengths,
     return _MonotonicRNNTFunction.apply(
         acts, labels, input_lengths, label_lengths, alignment,
         max_distance_from_alignment, blank_label)
+
+
+# ---------------------------------------------------------------------------
+# Padded-layout entry: torch -> (dlpack) -> JAX engine -> torch
+# ---------------------------------------------------------------------------
+
+
+def _torch_to_jax(t):
+    """torch tensor -> jax array; zero-copy via dlpack for CPU tensors."""
+    import jax
+
+    t = t.detach().contiguous()
+    if t.device.type == "cpu":
+        try:
+            return jax.dlpack.from_dlpack(t)
+        except Exception:  # pragma: no cover - dlpack protocol mismatch
+            pass
+    return jax.numpy.asarray(t.cpu().numpy())
+
+
+@functools.lru_cache(maxsize=None)
+def _jax_loss_fn(blank_id: int, backend: str, with_grads: bool):
+    """Jitted padded-layout loss for the bridge (cached per static config)."""
+    import jax
+
+    from ..ops.bands import Bands
+    from ..ops.loss import _run
+
+    def run(logits, labels, ilen, slen, band_min, band_max):
+        return _run(logits, labels, ilen, slen, Bands(band_min, band_max),
+                    blank_id, backend, with_grads)
+
+    return jax.jit(run)
+
+
+class _MonotonicRNNTPaddedFunction(torch.autograd.Function if torch
+                                   else object):
+
+    @staticmethod
+    def forward(ctx, logits, labels, input_lengths, label_lengths, alignment,
+                max_distance_from_alignment, blank_label, backend):
+        import jax
+        import jax.numpy as jnp
+
+        from ..ops.bands import bands_from_alignment, default_bands
+        from ..ops.loss import _resolve_backend
+
+        x = _torch_to_jax(logits)
+        # A dlpack-imported array is committed to the CPU device, which
+        # would pin the jit (and the Pallas kernels) onto the CPU backend;
+        # move it to the default device (the TPU when one is attached).
+        default_dev = jax.devices()[0]
+        if default_dev.platform != "cpu":
+            x = jax.device_put(x, default_dev)
+        la = jnp.asarray(labels.detach().cpu().numpy().astype(np.int32))
+        il = jnp.asarray(input_lengths.detach().cpu().numpy()
+                         .astype(np.int32))
+        sl = jnp.asarray(label_lengths.detach().cpu().numpy()
+                         .astype(np.int32))
+        if alignment is not None:
+            bands = bands_from_alignment(
+                jnp.asarray(alignment.detach().cpu().numpy()
+                            .astype(np.int32)),
+                il, sl, max_distance_from_alignment, blank_label)
+        else:
+            bands = default_bands(il, sl, x.shape[1])
+        needs_grad = ctx.needs_input_grad[0]
+        fn = _jax_loss_fn(int(blank_label), _resolve_backend(backend),
+                          needs_grad)
+        costs, grads = fn(x, la, il, sl, bands.min_s, bands.max_s)
+        # np.array copies: device_get may return read-only buffers that
+        # torch.from_numpy would alias with a warning.
+        costs_t = torch.from_numpy(np.array(jax.device_get(costs)))
+        if needs_grad:
+            g = torch.from_numpy(
+                np.array(jax.device_get(grads), dtype=np.float32))
+            ctx.save_for_backward(g)
+            ctx._orig_device = logits.device
+        return costs_t.to(logits.device)
+
+    @staticmethod
+    def backward(ctx, grad_costs):
+        (grads,) = ctx.saved_tensors
+        scale = grad_costs.detach().cpu().to(grads.dtype)[:, None, None, None]
+        return ((scale * grads).to(ctx._orig_device), None, None, None, None,
+                None, None, None)
+
+
+def monotonic_rnnt_loss_padded(logits, labels, input_lengths, label_lengths,
+                               alignment=None,
+                               max_distance_from_alignment: int = 0,
+                               blank_label: int = 0, backend=None):
+    """Padded-layout torch loss running the JAX engine (TPU when available).
+
+    logits: [B, T_max, S_max+1, V] float torch tensor (any device; CPU
+    tensors bridge into JAX zero-copy via dlpack); labels [B, S_max] int;
+    lengths int [B]. Returns per-sample costs [B] on logits' device,
+    differentiable w.r.t. logits. backend as in the JAX API ('auto' default).
+    """
+    _require_torch()
+    return _MonotonicRNNTPaddedFunction.apply(
+        logits, labels, input_lengths, label_lengths, alignment,
+        max_distance_from_alignment, blank_label, backend)
 
 
 class MonotonicRNNTLoss(torch.nn.Module if torch else object):

@@ -77,3 +77,60 @@ def test_torch_cost_only_under_no_grad():
         costs = monotonic_rnnt_loss(acts, labels, ilen, slen)
     np.testing.assert_allclose(costs.numpy(), [golden.README_LOSS], atol=1e-4)
     assert costs.grad_fn is None
+
+
+def test_torch_padded_dlpack_bridge_matches_jax():
+    """Padded torch entry (dlpack -> JAX engine) reproduces the JAX VJP."""
+    import jax
+    from monotonic_rnnt_tpu import monotonic_rnnt_loss as jax_loss
+    from monotonic_rnnt_tpu.interop.torch_binding import \
+        monotonic_rnnt_loss_padded
+
+    rng = np.random.RandomState(3)
+    B, T, S, V = 3, 14, 4, 19
+    logits = rng.randn(B, T, S + 1, V).astype(np.float32)
+    labels = rng.randint(1, V, (B, S)).astype(np.int32)
+    ilen = np.array([14, 9, 14], np.int32)
+    slen = np.array([4, 2, 0], np.int32)
+    cot = np.array([1.5, -2.0, 0.25], np.float32)
+
+    t_logits = torch.tensor(logits, requires_grad=True)
+    costs = monotonic_rnnt_loss_padded(
+        t_logits, torch.tensor(labels), torch.tensor(ilen),
+        torch.tensor(slen))
+    (costs * torch.tensor(cot)).sum().backward()
+
+    def f(lg):
+        return jnp.sum(jax_loss(lg, jnp.asarray(labels), jnp.asarray(ilen),
+                                jnp.asarray(slen)) * jnp.asarray(cot))
+
+    val, g = jax.value_and_grad(f)(jnp.asarray(logits))
+    np.testing.assert_allclose(costs.detach().numpy() @ cot, float(val),
+                               rtol=1e-5)
+    np.testing.assert_allclose(t_logits.grad.numpy(), np.asarray(g),
+                               rtol=1e-4, atol=1e-6)
+
+
+def test_torch_padded_align_restrict_golden():
+    logits, labels, ilen, slen = golden.readme_batch()
+    from monotonic_rnnt_tpu.interop.torch_binding import \
+        monotonic_rnnt_loss_padded
+
+    for shift, expected in golden.ALIGN_A_LOSSES.items():
+        costs = monotonic_rnnt_loss_padded(
+            torch.tensor(logits), torch.tensor(labels), torch.tensor(ilen),
+            torch.tensor(slen), alignment=torch.tensor(golden.ALIGN_A[None]),
+            max_distance_from_alignment=shift)
+        np.testing.assert_allclose(costs.numpy(), [expected], rtol=1e-4)
+
+
+def test_torch_padded_cost_only_no_grad():
+    from monotonic_rnnt_tpu.interop.torch_binding import \
+        monotonic_rnnt_loss_padded
+
+    logits, labels, ilen, slen = golden.readme_batch()
+    with torch.no_grad():
+        costs = monotonic_rnnt_loss_padded(
+            torch.tensor(logits), torch.tensor(labels), torch.tensor(ilen),
+            torch.tensor(slen))
+    np.testing.assert_allclose(costs.numpy(), [golden.README_LOSS], atol=1e-4)
