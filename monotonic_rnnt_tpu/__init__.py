@@ -20,6 +20,7 @@ from .ops.bands import (BandLayout, Bands, band_layout_is_exact,
                         default_bands, pack_band, required_band_width,
                         unpack_band)
 from .ops.chunked import rnnt_loss_fused_joint
+from .ops.chunked_banded import rnnt_loss_fused_joint_banded
 from .ops.loss import monotonic_rnnt_alignment_score, monotonic_rnnt_loss
 from .ops.packing import (monotonic_rnnt_loss_packed, pack_acts, unpack_acts)
 from .ops.reference import rnnt_loss_reference
@@ -37,6 +38,7 @@ __all__ = [
     "ViterbiResult",
     "rnnt_loss_reference",
     "rnnt_loss_fused_joint",
+    "rnnt_loss_fused_joint_banded",
     "monotonic_rnnt_loss_banded",
     "Bands",
     "BandLayout",

@@ -113,6 +113,52 @@ def make_memory_efficient_loss(model: MonotonicTransducer,
     return loss_fn
 
 
+def make_banded_memory_efficient_loss(model: MonotonicTransducer,
+                                      band_width: int,
+                                      chunk_t: int = 32,
+                                      deterministic: bool = True):
+    """Fused-joint loss restricted to a band: the O(W) training step.
+
+    Like make_memory_efficient_loss, but the joint network is evaluated only
+    on the packed band window (ops/chunked_banded.py) — hidden/vocab
+    projections and loss all scale with band_width instead of S+1. Returns
+    loss_fn(params, batch, bands, rngs=None) -> mean cost; `bands` is the
+    per-call restriction (e.g. bands_from_alignment on stored alignments in
+    *encoder-frame* time), band_width the static window width (size it with
+    bands.required_band_width).
+    """
+    from ..ops.chunked_banded import rnnt_loss_fused_joint_banded
+
+    def _encode(m, feats, flen, det):
+        return m.encode(feats, flen, det)
+
+    def _predict(m, labels, det):
+        return m.predictor(labels, det)
+
+    def _joint_banded(m, e_c, pb):
+        return m.joint.banded(e_c, pb)
+
+    def loss_fn(params, batch, bands, rngs=None):
+        feats, feat_lengths, labels, label_lengths = batch
+        enc, enc_lengths = model.apply({"params": params}, feats,
+                                       feat_lengths, deterministic,
+                                       method=_encode, rngs=rngs)
+        pred = model.apply({"params": params}, labels, deterministic,
+                           method=_predict, rngs=rngs)
+
+        def joint_fn(jp, e_c, pb):
+            return model.apply({"params": {"joint": jp}}, e_c, pb,
+                               method=_joint_banded)
+
+        costs = rnnt_loss_fused_joint_banded(
+            enc, pred, labels, enc_lengths, label_lengths.astype(jnp.int32),
+            joint_fn, params["joint"], bands=bands, band_width=band_width,
+            blank_id=model.cfg.blank_id, chunk_t=chunk_t)
+        return jnp.mean(costs)
+
+    return loss_fn
+
+
 def make_sharded_train_step(mesh: Mesh):
     """jit train_step with batch sharded over 'data', params replicated.
 

@@ -37,16 +37,34 @@ class Joint(nn.Module):
 
     cfg: TransducerConfig
 
-    @nn.compact
+    def setup(self):
+        cfg = self.cfg
+        self.enc_proj = nn.Dense(cfg.joint_dim, dtype=cfg.dtype,
+                                 name="enc_proj")
+        self.pred_proj = nn.Dense(cfg.joint_dim, dtype=cfg.dtype,
+                                  name="pred_proj")
+        self.vocab_proj = nn.Dense(cfg.vocab_size, dtype=cfg.dtype,
+                                   name="vocab_proj")
+
     def __call__(self, enc, pred):
         cfg = self.cfg
-        e = nn.Dense(cfg.joint_dim, dtype=cfg.dtype, name="enc_proj")(
-            enc.astype(cfg.dtype))
-        p = nn.Dense(cfg.joint_dim, dtype=cfg.dtype, name="pred_proj")(
-            pred.astype(cfg.dtype))
+        e = self.enc_proj(enc.astype(cfg.dtype))
+        p = self.pred_proj(pred.astype(cfg.dtype))
         h = jnp.tanh(e[:, :, None, :] + p[:, None, :, :])  # [B,T,S1,J]
-        return nn.Dense(cfg.vocab_size, dtype=cfg.dtype,
-                        name="vocab_proj")(h).astype(jnp.float32)
+        return self.vocab_proj(h).astype(jnp.float32)
+
+    def banded(self, enc, pred_band):
+        """Band-cell joint: pred rows pre-gathered per cell.
+
+        enc [B, Tc, De], pred_band [B, Tc, W, Dp] -> [B, Tc, W, V]; the enc
+        projection is computed once per (b, t) and broadcast over the band
+        (the ops/chunked_banded.py joint_fn contract).
+        """
+        cfg = self.cfg
+        e = self.enc_proj(enc.astype(cfg.dtype))
+        p = self.pred_proj(pred_band.astype(cfg.dtype))
+        h = jnp.tanh(e[:, :, None, :] + p)                 # [B,Tc,W,J]
+        return self.vocab_proj(h).astype(jnp.float32)
 
 
 class MonotonicTransducer(nn.Module):
