@@ -105,6 +105,20 @@ def monotonic_rnnt_loss(
     return _loss(acts)
 
 
+def _tf_platforms(backend):
+    """Platforms to lower the jax2tf module for.
+
+    The XLA reference backend lowers everywhere, so emit a multi-platform
+    module (TF may execute on a CPU host even when jax's default backend is
+    a TPU tunnel). The Pallas backend only lowers for TPU — a CPU-host TF
+    runtime must pass backend="reference".
+    """
+    from ..ops.loss import _resolve_backend
+
+    return (("tpu",) if _resolve_backend(backend) == "pallas"
+            else ("cpu", "tpu"))
+
+
 _PADDED_TF_FN = {}
 
 
@@ -133,9 +147,57 @@ def monotonic_rnnt_loss_padded(
             return jax_loss(logits, labels, ilen, slen,
                             blank_id=int(blank_label), backend=backend)
 
-        _PADDED_TF_FN[key] = jax2tf.convert(fn, with_gradient=True)
+        _PADDED_TF_FN[key] = jax2tf.convert(
+            fn, with_gradient=True,
+            native_serialization_platforms=_tf_platforms(backend))
     return _PADDED_TF_FN[key](
         tf.convert_to_tensor(logits),
         tf.convert_to_tensor(labels, tf.int32),
         tf.convert_to_tensor(input_lengths, tf.int32),
         tf.convert_to_tensor(label_lengths, tf.int32))
+
+
+_BANDED_TF_FN = {}
+
+
+def monotonic_rnnt_loss_banded(
+    logits_band,
+    labels,
+    input_lengths,
+    label_lengths,
+    band_min,
+    band_max,
+    blank_label: int = 0,
+    backend: Optional[str] = None,
+):
+    """Packed band-layout loss as a native TF/XLA computation (via jax2tf).
+
+    logits_band: [B, T_max, W, V] float tensor (ops/bands.py packed layout;
+    pack with the JAX helpers or compute the joint directly on the band);
+    band_min / band_max: [B, T_max] int32 Bands arrays. Differentiable under
+    tf.GradientTape (gradients in the packed layout); compiles with
+    jit_compile=True — the TF surface of the long-utterance fast path.
+    """
+    _require_tf()
+    key = (int(blank_label), backend)
+    if key not in _BANDED_TF_FN:
+        from jax.experimental import jax2tf
+
+        from ..ops.banded import monotonic_rnnt_loss_banded as jax_banded
+        from ..ops.bands import Bands
+
+        def fn(lb, labels, ilen, slen, bmin, bmax):
+            return jax_banded(lb, labels, ilen, slen,
+                              bands=Bands(bmin, bmax),
+                              blank_id=int(blank_label), backend=backend)
+
+        _BANDED_TF_FN[key] = jax2tf.convert(
+            fn, with_gradient=True,
+            native_serialization_platforms=_tf_platforms(backend))
+    return _BANDED_TF_FN[key](
+        tf.convert_to_tensor(logits_band),
+        tf.convert_to_tensor(labels, tf.int32),
+        tf.convert_to_tensor(input_lengths, tf.int32),
+        tf.convert_to_tensor(label_lengths, tf.int32),
+        tf.convert_to_tensor(band_min, tf.int32),
+        tf.convert_to_tensor(band_max, tf.int32))

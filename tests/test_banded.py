@@ -197,3 +197,43 @@ def test_banded_cost_only_and_validation():
     with pytest.raises(RnntError):
         monotonic_rnnt_loss_banded(
             jnp.zeros((2, 16, s1 + 1, 12)), labels, ilen, slen, bands=bands)
+
+
+def test_band_layout_properties_random():
+    """Structural contract fuzz: offsets/d/width invariants over random bands."""
+    from monotonic_rnnt_tpu.ops.bands import band_layout_is_exact
+
+    master = np.random.RandomState(123)
+    for _ in range(25):
+        batch = int(master.randint(1, 5))
+        t = int(master.randint(2, 40))
+        s = int(master.randint(1, min(t, 12) + 1))
+        v = 7
+        shift = int(master.randint(0, 4))
+        rng = np.random.RandomState(master.randint(2**31))
+        ilen = rng.randint(max(s, 1), t + 1, (batch,)).astype(np.int32)
+        slen = np.minimum(rng.randint(0, s + 1, (batch,)), ilen).astype(
+            np.int32)
+        align = _random_alignment(rng, batch, t, ilen, slen, v)
+        ilen_j, slen_j = jnp.asarray(ilen), jnp.asarray(slen)
+        bands = bands_from_alignment(jnp.asarray(align), ilen_j, slen_j,
+                                     shift, 0)
+        s1 = s + 1
+        w_req = int(required_band_width(ilen_j, slen_j, bands, t, s1))
+        assert 1 <= w_req <= s1
+        for w in {w_req, min(s1, w_req + 3)}:
+            layout = compute_band_layout(ilen_j, slen_j, bands, t, s1, w)
+            off = np.asarray(layout.offset)
+            d = np.asarray(layout.d)
+            dn = np.asarray(layout.d_next)
+            assert np.all((d >= 0) & (d <= 1)), d
+            assert np.all(off[:, 0] == d[:, 0])
+            assert np.all(np.diff(off, axis=1) == d[:, 1:])
+            assert np.all(dn[:, :-1] == d[:, 1:]) and np.all(dn[:, -1] == 0)
+            assert np.all(off + w <= s1)
+            assert np.asarray(band_layout_is_exact(
+                ilen_j, slen_j, bands, t, s1, w)).all(), (t, s, shift, w)
+        if w_req > 1:
+            # One slot narrower must clip somewhere (required is the minimum).
+            assert not np.asarray(band_layout_is_exact(
+                ilen_j, slen_j, bands, t, s1, w_req - 1)).all()

@@ -125,3 +125,48 @@ def test_tf_no_inf_nan_random():
     g = tape.gradient(total, a)
     assert np.all(np.isfinite(costs.numpy()))
     assert np.all(np.isfinite(g.numpy()))
+
+
+def test_tf_banded_padded_matches_jax():
+    """jax2tf band-layout entry: costs + tape gradients match the JAX path."""
+    import jax
+    from monotonic_rnnt_tpu.interop.tf_binding import \
+        monotonic_rnnt_loss_banded as tf_banded
+    from monotonic_rnnt_tpu.ops.banded import \
+        monotonic_rnnt_loss_banded as jax_banded
+    from monotonic_rnnt_tpu.ops.bands import (Bands, bands_from_alignment,
+                                              compute_band_layout, pack_band,
+                                              required_band_width)
+
+    rng = np.random.RandomState(4)
+    B, T, S, V = 2, 14, 4, 11
+    logits = rng.randn(B, T, S + 1, V).astype(np.float32)
+    labels = rng.randint(1, V, (B, S)).astype(np.int32)
+    ilen = np.array([14, 10], np.int32)
+    slen = np.array([4, 2], np.int32)
+    align = np.zeros((B, T), np.int32)
+    for b in range(B):
+        pos = np.sort(rng.choice(ilen[b], size=slen[b], replace=False))
+        align[b, pos] = labels[b, :slen[b]]
+    bands = bands_from_alignment(jnp.asarray(align), jnp.asarray(ilen),
+                                 jnp.asarray(slen), 1, 0)
+    w = int(required_band_width(jnp.asarray(ilen), jnp.asarray(slen), bands,
+                                T, S + 1))
+    layout = compute_band_layout(jnp.asarray(ilen), jnp.asarray(slen), bands,
+                                 T, S + 1, w)
+    lb = np.asarray(pack_band(jnp.asarray(logits), layout))
+
+    lb_tf = tf.constant(lb)
+    with tf.GradientTape() as tape:
+        tape.watch(lb_tf)
+        costs_tf = tf_banded(lb_tf, labels, ilen, slen,
+                             np.asarray(bands.min_s), np.asarray(bands.max_s))
+        total = tf.reduce_sum(costs_tf)
+    g_tf = tape.gradient(total, lb_tf)
+
+    val, g = jax.value_and_grad(lambda x: jnp.sum(jax_banded(
+        x, jnp.asarray(labels), jnp.asarray(ilen), jnp.asarray(slen),
+        bands=bands, backend="reference")))(jnp.asarray(lb))
+    np.testing.assert_allclose(float(total), float(val), rtol=1e-5)
+    np.testing.assert_allclose(g_tf.numpy(), np.asarray(g), rtol=1e-4,
+                               atol=1e-6)
