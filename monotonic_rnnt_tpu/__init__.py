@@ -13,7 +13,8 @@ Public API:
 """
 
 from .ops.alignment import (ViterbiResult, occupancy_posteriors,
-                            viterbi_alignment)
+                            occupancy_posteriors_banded, viterbi_alignment,
+                            viterbi_alignment_banded)
 from .ops.banded import monotonic_rnnt_loss_banded
 from .ops.bands import (BandLayout, Bands, band_layout_is_exact,
                         bands_from_alignment, compute_band_layout,
@@ -34,7 +35,9 @@ __all__ = [
     "monotonic_rnnt_loss_packed",
     "monotonic_rnnt_alignment_score",
     "viterbi_alignment",
+    "viterbi_alignment_banded",
     "occupancy_posteriors",
+    "occupancy_posteriors_banded",
     "ViterbiResult",
     "rnnt_loss_reference",
     "rnnt_loss_fused_joint",

@@ -149,3 +149,129 @@ def viterbi_alignment(
     _, syms_rev = jax.lax.scan(back_step, slen, (bptr_rev, ts))
     alignment = jnp.transpose(syms_rev[::-1], (1, 0)).astype(jnp.int32)
     return ViterbiResult(alignment=alignment, score=score)
+
+
+def viterbi_alignment_banded(
+    logits_band: jnp.ndarray,
+    labels: jnp.ndarray,
+    input_lengths: jnp.ndarray,
+    label_lengths: jnp.ndarray,
+    *,
+    bands: Bands,
+    blank_id: int = 0,
+) -> ViterbiResult:
+    """Best path on the packed band layout — O(W) restricted re-alignment.
+
+    The realignment loop of alignment-restricted training (align -> train
+    restricted -> re-align in a band around the previous alignment) never
+    needs the full lattice: this searches [B, T, W, V] band logits (see
+    bands.compute_band_layout / monotonic_rnnt_loss_banded for the layout
+    contract) with the same max-plus recursion as viterbi_alignment, the
+    band-coordinate window shifts of ops/banded.py, and a lattice-coordinate
+    backtrace. Same semantics as viterbi_alignment with
+    clip_bands_to_width(bands) on the full lattice.
+    """
+    from .banded import band_labels, band_stats
+    from .bands import band_lattice_masks, compute_band_layout
+    from .helpers import NEG_INF, shift_left_s
+
+    batch, t_max, w, _ = logits_band.shape
+    s1 = labels.shape[1] + 1
+    ilen = input_lengths.astype(jnp.int32)
+    slen = label_lengths.astype(jnp.int32)
+    layout = compute_band_layout(ilen, slen, bands, t_max, s1, w)
+    masks = band_lattice_masks(ilen, slen, bands, layout, t_max, s1)
+    lab_band = band_labels(labels, slen, layout, s1)
+    stats = band_stats(logits_band, lab_band, blank_id)
+
+    amask = mask_to_additive(masks.alpha)
+    lpbm = jnp.transpose(stats.lp_blank + amask, (1, 0, 2))      # [T, B, W]
+    lplm = jnp.transpose(stats.lp_label + shift_left_s(amask), (1, 0, 2))
+    d_t = jnp.transpose(layout.d[:, :, None] == 1, (1, 0, 2))
+
+    w_idx = jnp.arange(w, dtype=jnp.int32)[None, :]
+    init = jnp.zeros_like(stats.lp_blank[:, 0, :]) + mask_to_additive(
+        w_idx == 0)
+
+    def fwd_step(carry, xs):
+        lpb_t, lpl_t, sh = xs
+        aligned = jnp.where(sh, shift_left_s(carry), carry)
+        no_emit = aligned + lpb_t
+        emit = shift_right_s(aligned + lpl_t)
+        took_emit = emit > no_emit
+        return jnp.maximum(no_emit, emit), (jnp.maximum(no_emit, emit),
+                                            took_emit)
+
+    _, (vit, bptr) = jax.lax.scan(fwd_step, init, (lpbm, lplm, d_t))
+
+    vit_b = jnp.transpose(vit, (1, 0, 2))
+    last_t = jnp.clip(ilen - 1, 0)
+    o_last = jnp.take_along_axis(layout.offset, last_t[:, None], axis=1)[:, 0]
+    w_ll = slen - o_last
+    vit_last = jnp.take_along_axis(vit_b, last_t[:, None, None],
+                                   axis=1)[:, 0, :]
+    ll = jnp.take_along_axis(vit_last, jnp.clip(w_ll, 0, w - 1)[:, None],
+                             axis=1)[:, 0]
+    score = -jnp.where((w_ll >= 0) & (w_ll < w), ll, NEG_INF)
+
+    # Backtrace in lattice coordinates; the backpointer for lattice cell
+    # (t, s) sits at packed slot s - offset[t].
+    lab_pad = jnp.concatenate(
+        [labels.astype(jnp.int32),
+         jnp.zeros((batch, s1 - labels.shape[1]), jnp.int32)], axis=1)
+
+    def back_step(s_cur, xs):
+        bptr_t, off_t, t = xs
+        active = t <= ilen - 1
+        slot = s_cur - off_t
+        in_band = (slot >= 0) & (slot < w)
+        took = jnp.take_along_axis(bptr_t, jnp.clip(slot, 0, w - 1)[:, None],
+                                   axis=1)[:, 0]
+        emit_here = active & in_band & took & (s_cur > 0)
+        sym = jnp.where(
+            emit_here,
+            jnp.take_along_axis(lab_pad, jnp.maximum(s_cur - 1, 0)[:, None],
+                                axis=1)[:, 0],
+            blank_id)
+        s_next = jnp.where(emit_here, s_cur - 1, s_cur)
+        s_next = jnp.where(active, s_next, slen)
+        return s_next, sym
+
+    ts = jnp.arange(t_max - 1, -1, -1, dtype=jnp.int32)
+    off_rev = jnp.transpose(layout.offset, (1, 0))[::-1]
+    _, syms_rev = jax.lax.scan(back_step, slen, (bptr[::-1], off_rev, ts))
+    alignment = jnp.transpose(syms_rev[::-1], (1, 0)).astype(jnp.int32)
+    return ViterbiResult(alignment=alignment, score=score)
+
+
+def occupancy_posteriors_banded(
+    logits_band: jnp.ndarray,
+    labels: jnp.ndarray,
+    input_lengths: jnp.ndarray,
+    label_lengths: jnp.ndarray,
+    *,
+    bands: Bands,
+    blank_id: int = 0,
+) -> jnp.ndarray:
+    """Packed-layout gamma[b, t, w] = p(path visits (t, offset[t] + w)).
+
+    Banded counterpart of occupancy_posteriors (bands.unpack_band scatters
+    back to the lattice if needed).
+    """
+    from .banded import (band_forward_backward, band_labels,
+                         band_occupancy_coefficients, band_stats)
+    from .bands import band_lattice_masks, compute_band_layout
+
+    batch, t_max, w, _ = logits_band.shape
+    s1 = labels.shape[1] + 1
+    ilen = input_lengths.astype(jnp.int32)
+    slen = label_lengths.astype(jnp.int32)
+    layout = compute_band_layout(ilen, slen, bands, t_max, s1, w)
+    masks = band_lattice_masks(ilen, slen, bands, layout, t_max, s1)
+    lab_band = band_labels(labels, slen, layout, s1)
+    stats = band_stats(logits_band, lab_band, blank_id)
+    alphas, betas, ll = band_forward_backward(stats, masks, layout, ilen,
+                                              slen)
+    occ, _, _ = band_occupancy_coefficients(alphas, betas, ll, ilen, slen,
+                                            layout)
+    return occ

@@ -150,3 +150,68 @@ def test_occupancy_concentrates_on_viterbi_path():
         if res.alignment[0, t] != 0:
             s += 1
     assert mass / T > 0.5, mass / T
+
+
+def test_banded_viterbi_matches_full():
+    """Packed-layout Viterbi == full-lattice Viterbi with the same bands."""
+    from monotonic_rnnt_tpu.ops.alignment import (viterbi_alignment,
+                                                  viterbi_alignment_banded)
+    from monotonic_rnnt_tpu.ops.bands import (bands_from_alignment,
+                                              compute_band_layout, pack_band,
+                                              required_band_width)
+
+    rng = np.random.RandomState(8)
+    B, T, S, V = 3, 22, 7, 13
+    logits = jnp.asarray(rng.randn(B, T, S + 1, V).astype(np.float32) * 2)
+    labels = jnp.asarray(rng.randint(1, V, (B, S)).astype(np.int32))
+    ilen = jnp.asarray(rng.randint(S + 1, T + 1, (B,)).astype(np.int32))
+    slen = jnp.asarray(rng.randint(1, S + 1, (B,)).astype(np.int32))
+    align = np.zeros((B, T), np.int32)
+    for b in range(B):
+        pos = np.sort(rng.choice(int(ilen[b]), size=int(slen[b]),
+                                 replace=False))
+        align[b, pos] = np.asarray(labels[b, :int(slen[b])])
+    bands = bands_from_alignment(jnp.asarray(align), ilen, slen, 2, 0)
+    w = int(required_band_width(ilen, slen, bands, T, S + 1))
+    layout = compute_band_layout(ilen, slen, bands, T, S + 1, w)
+    lb = pack_band(logits, layout)
+
+    full = jax.jit(lambda *a: viterbi_alignment(*a, bands=bands))(
+        logits, labels, ilen, slen)
+    band = jax.jit(lambda *a: viterbi_alignment_banded(*a, bands=bands))(
+        lb, labels, ilen, slen)
+    np.testing.assert_allclose(np.asarray(band.score), np.asarray(full.score),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(band.alignment),
+                                  np.asarray(full.alignment))
+
+
+def test_banded_occupancy_matches_full():
+    from monotonic_rnnt_tpu.ops.alignment import (occupancy_posteriors,
+                                                  occupancy_posteriors_banded)
+    from monotonic_rnnt_tpu.ops.bands import (bands_from_alignment,
+                                              compute_band_layout, pack_band,
+                                              required_band_width,
+                                              unpack_band)
+
+    rng = np.random.RandomState(9)
+    B, T, S, V = 2, 18, 5, 9
+    logits = jnp.asarray(rng.randn(B, T, S + 1, V).astype(np.float32))
+    labels = jnp.asarray(rng.randint(1, V, (B, S)).astype(np.int32))
+    ilen = jnp.asarray([18, 12], jnp.int32)
+    slen = jnp.asarray([5, 3], jnp.int32)
+    align = np.zeros((B, T), np.int32)
+    for b in range(B):
+        pos = np.sort(rng.choice(int(ilen[b]), size=int(slen[b]),
+                                 replace=False))
+        align[b, pos] = np.asarray(labels[b, :int(slen[b])])
+    bands = bands_from_alignment(jnp.asarray(align), ilen, slen, 2, 0)
+    w = int(required_band_width(ilen, slen, bands, T, S + 1))
+    layout = compute_band_layout(ilen, slen, bands, T, S + 1, w)
+    lb = pack_band(logits, layout)
+
+    full = occupancy_posteriors(logits, labels, ilen, slen, bands=bands)
+    band = occupancy_posteriors_banded(lb, labels, ilen, slen, bands=bands)
+    np.testing.assert_allclose(
+        np.asarray(unpack_band(band, layout, S + 1)), np.asarray(full),
+        rtol=1e-5, atol=1e-6)
