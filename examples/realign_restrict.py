@@ -99,31 +99,38 @@ def main(argv=None):
     print(f"[align]      band width {width} vs S+1={s1}")
 
     # --- Phase 3: banded training; re-align inside the band. ----------------
-    banded_loss = make_banded_memory_efficient_loss(model, band_width=width,
-                                                    chunk_t=16)
+    # The width is a static (compile-time) parameter, so everything that
+    # bakes it in is built by this factory — growing the width later is a
+    # rebuild + recompile, never a silent behavior change.
+    def build_banded_fns(width):
+        banded_loss = make_banded_memory_efficient_loss(
+            model, band_width=width, chunk_t=16)
 
-    @jax.jit
-    def banded_step(p, s, bmin, bmax):
-        loss, g = jax.value_and_grad(
-            lambda p_: banded_loss(p_, batch, mr.Bands(bmin, bmax)))(p)
-        updates, s = opt.update(g, s)
-        return optax.apply_updates(p, updates), s, loss
+        @jax.jit
+        def banded_step(p, s, bmin, bmax):
+            loss, g = jax.value_and_grad(
+                lambda p_: banded_loss(p_, batch, mr.Bands(bmin, bmax)))(p)
+            updates, s = opt.update(g, s)
+            return optax.apply_updates(p, updates), s, loss
 
-    @jax.jit
-    def realign(p, bmin, bmax):
-        enc, el = encode(p, feats, flen)
-        pred = model.apply({"params": p}, labels, True,
-                           method=lambda m, la, d: m.predictor(la, d))
-        layout = mr.compute_band_layout(el, slen, mr.Bands(bmin, bmax),
-                                        enc.shape[1], s1, width)
-        idx = layout.offset[:, :, None] + jnp.arange(width)[None, None, :]
-        pred_band = jnp.take_along_axis(pred[:, None, :, :],
-                                        idx[..., None], axis=2)
-        lb = model.apply({"params": p}, enc, pred_band, True,
-                         method=lambda m, e, pb, d: m.joint.banded(e, pb))
-        return mr.viterbi_alignment_banded(lb, labels, el, slen,
-                                           bands=mr.Bands(bmin, bmax))
+        @jax.jit
+        def realign(p, bmin, bmax):
+            enc, el = encode(p, feats, flen)
+            pred = model.apply({"params": p}, labels, True,
+                               method=lambda m, la, d: m.predictor(la, d))
+            layout = mr.compute_band_layout(el, slen, mr.Bands(bmin, bmax),
+                                            enc.shape[1], s1, width)
+            idx = layout.offset[:, :, None] + jnp.arange(width)[None, None, :]
+            pred_band = jnp.take_along_axis(pred[:, None, :, :],
+                                            idx[..., None], axis=2)
+            lb = model.apply({"params": p}, enc, pred_band, True,
+                             method=lambda m, e, pb, d: m.joint.banded(e, pb))
+            return mr.viterbi_alignment_banded(lb, labels, el, slen,
+                                               bands=mr.Bands(bmin, bmax))
 
+        return banded_step, realign
+
+    banded_step, realign = build_banded_fns(width)
     for i in range(args.restricted):
         params, opt_state, loss = banded_step(params, opt_state,
                                               bands.min_s, bands.max_s)
@@ -133,6 +140,16 @@ def main(argv=None):
             res = realign(params, bands.min_s, bands.max_s)
             bands = mr.bands_from_alignment(res.alignment, enc_lengths, slen,
                                             args.shift, cfg.blank_id)
+            # A new alignment can need a wider window than the one the
+            # static width was sized for (label clustering changes the
+            # span). Silently training on a clipped band would change the
+            # objective — grow the width (one recompile) instead.
+            if not np.asarray(mr.band_layout_is_exact(
+                    enc_lengths, slen, bands, t_enc, s1, width)).all():
+                width = int(mr.required_band_width(enc_lengths, slen, bands,
+                                                   t_enc, s1))
+                banded_step, realign = build_banded_fns(width)
+                print(f"[realign]    band width grown to {width}")
             print(f"[realign]    step {i:3d}  packed viterbi score "
                   f"{np.asarray(res.score).round(3)}")
 

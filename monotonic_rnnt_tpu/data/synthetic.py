@@ -89,8 +89,9 @@ class SyntheticDataset:
         while True:
             feats, labels = self.sample_utterance()
             b = assign_bucket(len(feats), self.bounds)
-            # Keep T' >= S after subsampling.
-            max_labels = max(1, len(feats) // subsample_factor - 1)
+            # Clip with the same (monotone) bound that sizes the bucket's
+            # static label padding, so len(labels) <= s_pad structurally.
+            max_labels = self.label_bound(len(feats), subsample_factor)
             pools[b].append((feats, labels[:max_labels]))
             if len(pools[b]) == self.batch_size:
                 yield self._collate(pools[b], self.bounds[b],

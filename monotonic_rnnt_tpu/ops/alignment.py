@@ -172,8 +172,9 @@ def viterbi_alignment_banded(
     clip_bands_to_width(bands) on the full lattice.
     """
     from .banded import band_labels, band_stats
-    from .bands import band_lattice_masks, compute_band_layout
-    from .helpers import NEG_INF, shift_left_s
+    from .bands import (band_final_slot, band_lattice_masks,
+                        compute_band_layout)
+    from .helpers import shift_left_s
 
     batch, t_max, w, _ = logits_band.shape
     s1 = labels.shape[1] + 1
@@ -205,14 +206,7 @@ def viterbi_alignment_banded(
     _, (vit, bptr) = jax.lax.scan(fwd_step, init, (lpbm, lplm, d_t))
 
     vit_b = jnp.transpose(vit, (1, 0, 2))
-    last_t = jnp.clip(ilen - 1, 0)
-    o_last = jnp.take_along_axis(layout.offset, last_t[:, None], axis=1)[:, 0]
-    w_ll = slen - o_last
-    vit_last = jnp.take_along_axis(vit_b, last_t[:, None, None],
-                                   axis=1)[:, 0, :]
-    ll = jnp.take_along_axis(vit_last, jnp.clip(w_ll, 0, w - 1)[:, None],
-                             axis=1)[:, 0]
-    score = -jnp.where((w_ll >= 0) & (w_ll < w), ll, NEG_INF)
+    score = -band_final_slot(vit_b, layout, ilen, slen)
 
     # Backtrace in lattice coordinates; the backpointer for lattice cell
     # (t, s) sits at packed slot s - offset[t].

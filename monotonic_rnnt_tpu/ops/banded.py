@@ -38,8 +38,8 @@ import jax.numpy as jnp
 
 from ..utils.config import get_config
 from ..utils.status import RnntError, Status, validate_loss_inputs
-from .bands import (BandLayout, Bands, band_lattice_masks, compute_band_layout,
-                    pack_band)
+from .bands import (BandLayout, Bands, band_final_slot, band_lattice_masks,
+                    band_virtual_next_rows, compute_band_layout, pack_band)
 from .helpers import (NEG_INF, extend_labels, log_sum_exp, mask_to_additive,
                       shift_left_s, shift_right_s)
 from .loss import _resolve_backend
@@ -111,15 +111,7 @@ def band_forward_backward(stats: BandStats, masks, layout: BandLayout,
 
     _, alphas = jax.lax.scan(alpha_step, alpha_init, (lpbm, lplm, d_t))
     alphas = jnp.transpose(alphas, (1, 0, 2))
-
-    last_t = jnp.clip(ilen - 1, 0)
-    o_last = jnp.take_along_axis(layout.offset, last_t[:, None], axis=1)[:, 0]
-    w_ll = slen - o_last
-    alpha_last = jnp.take_along_axis(alphas, last_t[:, None, None],
-                                     axis=1)[:, 0, :]
-    ll = jnp.take_along_axis(alpha_last, jnp.clip(w_ll, 0, w - 1)[:, None],
-                             axis=1)[:, 0]
-    ll = jnp.where((w_ll >= 0) & (w_ll < w), ll, NEG_INF)
+    ll = band_final_slot(alphas, layout, ilen, slen)
 
     if not compute_betas:
         return alphas, None, ll
@@ -128,12 +120,7 @@ def band_forward_backward(stats: BandStats, masks, layout: BandLayout,
     lpbm_b = jnp.transpose(stats.lp_blank + bmask, (1, 0, 2))
     lplm_b = jnp.transpose(stats.lp_label + bmask, (1, 0, 2))
     dn_t = jnp.transpose(layout.d_next[:, :, None] == 1, (1, 0, 2))
-    # Virtual next row beta(t+1, s) = [s == S_b], expressed in the packed
-    # coordinates of t+1 (offset + d_next).
-    o_next = layout.offset + layout.d_next
-    bvirt = mask_to_additive(
-        o_next[:, :, None] + w_idx[None, :, :] == slen[:, None, None])
-    bvirt_t = jnp.transpose(bvirt, (1, 0, 2))
+    bvirt_t = jnp.transpose(band_virtual_next_rows(layout, slen), (1, 0, 2))
     t_rev = jnp.arange(t_max - 1, -1, -1, dtype=jnp.int32)
 
     def beta_step(carry, xs):

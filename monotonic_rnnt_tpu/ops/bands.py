@@ -285,6 +285,43 @@ def band_lattice_masks(input_lengths, label_lengths, bands: Bands,
     return LatticeMasks(alpha=alpha, beta=beta)
 
 
+def band_final_slot(values_band: jnp.ndarray, layout: BandLayout,
+                    input_lengths: jnp.ndarray,
+                    label_lengths: jnp.ndarray) -> jnp.ndarray:
+    """values_band[b, T_b-1, slot of s = S_b], NEG_INF when out of window.
+
+    The terminal-cell gather shared by every banded forward pass (loss
+    oracle, Pallas pipeline, fused-joint, Viterbi): with width clipping the
+    final cell can fall outside the packed window, in which case the lattice
+    is infeasible under the clipped band and the log-likelihood is -inf.
+    """
+    ilen = input_lengths.astype(jnp.int32)
+    slen = label_lengths.astype(jnp.int32)
+    w = values_band.shape[-1]
+    last_t = jnp.clip(ilen - 1, 0)
+    o_last = jnp.take_along_axis(layout.offset, last_t[:, None], axis=1)[:, 0]
+    w_ll = slen - o_last
+    last_rows = jnp.take_along_axis(values_band, last_t[:, None, None],
+                                    axis=1)[:, 0, :]
+    out = jnp.take_along_axis(last_rows, jnp.clip(w_ll, 0, w - 1)[:, None],
+                              axis=1)[:, 0]
+    return jnp.where((w_ll >= 0) & (w_ll < w), out, -jnp.inf)
+
+
+def band_virtual_next_rows(layout: BandLayout,
+                           label_lengths: jnp.ndarray) -> jnp.ndarray:
+    """[B, T, W] additive rows: beta(t+1, s) = [s == S_b] in t+1's coords.
+
+    The virtual terminal boundary consumed by the banded backward scans at
+    t = T_b - 1, expressed at offset[t] + d_next[t] (= offset[t+1]).
+    """
+    slen = label_lengths.astype(jnp.int32)
+    w_idx = jnp.arange(layout.width, dtype=jnp.int32)[None, None, :]
+    o_next = layout.offset + layout.d_next
+    return jnp.where(o_next[:, :, None] + w_idx == slen[:, None, None],
+                     0.0, -jnp.inf).astype(jnp.float32)
+
+
 def pack_band(x: jnp.ndarray, layout: BandLayout) -> jnp.ndarray:
     """Gather lattice rows into the packed window.
 

@@ -34,8 +34,8 @@ import jax.numpy as jnp
 
 from ..utils.status import RnntError, Status
 from .banded import band_gradients, band_labels, band_stats
-from .bands import (BandLayout, Bands, band_lattice_masks,
-                    compute_band_layout)
+from .bands import (BandLayout, Bands, band_final_slot, band_lattice_masks,
+                    band_virtual_next_rows, compute_band_layout)
 from .helpers import (NEG_INF, log_sum_exp, mask_to_additive, shift_left_s,
                       shift_right_s)
 
@@ -60,10 +60,10 @@ def _prep_banded(enc, ilen, slen, s1, bands, width, chunk_t):
     layout = compute_band_layout(ilen, slen, bands, t_max, s1, width)
     w = layout.width
     masks = band_lattice_masks(ilen, slen, bands, layout, t_max, s1)
-    w_idx = jnp.arange(w, dtype=jnp.int32)[None, None, :]
-    idx = layout.offset[:, :, None] + w_idx                    # [B, T, W]
-    o_next = layout.offset + layout.d_next
-    bvirt = mask_to_additive(o_next[:, :, None] + w_idx == slen[:, None, None])
+    idx = layout.offset[:, :, None] + jnp.arange(w,
+                                                 dtype=jnp.int32)[None, None,
+                                                                  :]
+    bvirt = band_virtual_next_rows(layout, slen)
 
     def ck(x, fill):
         return _chunk(_pad_t(x, t_pad, fill), n_chunks, chunk_t)
@@ -125,16 +125,7 @@ def _alphas_and_costs(enc, pred, labels, ilen, slen, joint_params, bands,
     alphas = jnp.moveaxis(alphas_c, 0, 1).reshape(
         batch, P["t_pad"], w)[:, :t_max]
 
-    last_t = jnp.clip(ilen - 1, 0)
-    o_last = jnp.take_along_axis(P["layout"].offset, last_t[:, None],
-                                 axis=1)[:, 0]
-    w_ll = slen - o_last
-    alpha_last = jnp.take_along_axis(alphas, last_t[:, None, None],
-                                     axis=1)[:, 0, :]
-    ll_fwd = jnp.take_along_axis(alpha_last,
-                                 jnp.clip(w_ll, 0, w - 1)[:, None],
-                                 axis=1)[:, 0]
-    ll_fwd = jnp.where((w_ll >= 0) & (w_ll < w), ll_fwd, NEG_INF)
+    ll_fwd = band_final_slot(alphas, P["layout"], ilen, slen)
     return alphas, ll_fwd
 
 

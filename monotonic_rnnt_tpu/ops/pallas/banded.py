@@ -19,7 +19,8 @@ import jax.numpy as jnp
 from ...utils.config import get_config
 from ...utils.debug import emit_loss_debug
 from ..banded import band_labels, band_occupancy_coefficients
-from ..bands import Bands, band_lattice_masks, compute_band_layout
+from ..bands import (Bands, band_final_slot, band_lattice_masks,
+                     band_virtual_next_rows, compute_band_layout)
 from ..helpers import NEG_INF, mask_to_additive, shift_left_s
 from .kernels import (alpha_scan_banded, dp_tiles_banded, fwdbwd_scan_banded,
                       grad_pass, softmax_stats)
@@ -59,7 +60,7 @@ def rnnt_loss_banded_pallas(
     # the alpha emit mask is pre-shifted onto the source slot) and pad B/T so
     # every DP block is full. Pad value NEG_INF keeps padded rows off-lattice.
     amask = mask_to_additive(masks.alpha)
-    _, b_pad, _, t_pad = dp_tiles_banded(batch, t_max, w)
+    bt, b_pad, tt, t_pad = dp_tiles_banded(batch, t_max, w)
 
     def _pad_small(x, fill):
         return jnp.pad(x, ((0, b_pad - batch), (0, t_pad - t_max), (0, 0)),
@@ -73,10 +74,7 @@ def rnnt_loss_banded_pallas(
         # One bidirectional kernel advances both serial chains per step —
         # the scans' wall time is loop/dependency latency, not VPU work.
         bmask = mask_to_additive(masks.beta)
-        w_idx = jnp.arange(w, dtype=jnp.int32)[None, None, :]
-        o_next = layout.offset + layout.d_next
-        bvirt = mask_to_additive(
-            o_next[:, :, None] + w_idx == slen[:, None, None])
+        bvirt = band_virtual_next_rows(layout, slen)
         ilen_p = jnp.pad(ilen, (0, b_pad - batch), constant_values=1)
         alphas, betas = fwdbwd_scan_banded(
             lpba_p, lpla_p, d_p,
@@ -84,21 +82,14 @@ def rnnt_loss_banded_pallas(
             _pad_small(lp_label + bmask, NEG_INF),
             _pad_small(layout.d_next[:, :, None], 0),
             ilen_p[:, None, None], _pad_small(bvirt, NEG_INF),
-            interpret=interpret)
+            interpret=interpret, tiles=(bt, tt))
         alphas = alphas[:batch, :t_max]
         betas = betas[:batch, :t_max]
     else:
-        alphas = alpha_scan_banded(lpba_p, lpla_p, d_p,
-                                   interpret=interpret)[:batch, :t_max]
+        alphas = alpha_scan_banded(lpba_p, lpla_p, d_p, interpret=interpret,
+                                   tiles=(bt, tt))[:batch, :t_max]
 
-    last_t = jnp.clip(ilen - 1, 0)
-    o_last = jnp.take_along_axis(layout.offset, last_t[:, None], axis=1)[:, 0]
-    w_ll = slen - o_last
-    alpha_last = jnp.take_along_axis(alphas, last_t[:, None, None],
-                                     axis=1)[:, 0, :]
-    ll_fwd = jnp.take_along_axis(alpha_last, jnp.clip(w_ll, 0, w - 1)[:, None],
-                                 axis=1)[:, 0]
-    ll_fwd = jnp.where((w_ll >= 0) & (w_ll < w), ll_fwd, NEG_INF)
+    ll_fwd = band_final_slot(alphas, layout, ilen, slen)
     costs = -ll_fwd
     if not with_grads:
         return costs, None

@@ -60,7 +60,7 @@ def rnnt_loss_pallas(
     # The DP kernels require full blocks: pad B to a multiple of the batch
     # tile and T to a multiple of the time tile. Only the small [B, T, S1]
     # arrays are padded — the big logits tensor never is.
-    _, b_pad, _, t_pad = dp_tiles(batch, t_max, s1)
+    bt, b_pad, tt, t_pad = dp_tiles(batch, t_max, s1)
 
     def _pad_small(x, fill):
         return jnp.pad(x, ((0, b_pad - batch), (0, t_pad - t_max), (0, 0)),
@@ -70,8 +70,8 @@ def rnnt_loss_pallas(
     lpl_p = _pad_small(lp_label, 0.0)
     amask_p = _pad_small(mask_to_additive(masks.alpha), NEG_INF)
 
-    alphas = alpha_scan(lpb_p, lpl_p, amask_p,
-                        interpret=interpret)[:batch, :t_max]
+    alphas = alpha_scan(lpb_p, lpl_p, amask_p, interpret=interpret,
+                        tiles=(bt, tt))[:batch, :t_max]
     ll_fwd = jnp.take_along_axis(
         jnp.take_along_axis(alphas, jnp.clip(ilen - 1, 0)[:, None, None],
                             axis=1)[:, 0, :],
@@ -87,7 +87,7 @@ def rnnt_loss_pallas(
     bvirt_p = jnp.pad(beta_virtual, ((0, b_pad - batch), (0, 0)),
                       constant_values=NEG_INF)
     betas = beta_scan(lpb_p, lpl_p, bmask_p, ilen_p[:, None, None], bvirt_p,
-                      interpret=interpret)[:batch, :t_max]
+                      interpret=interpret, tiles=(bt, tt))[:batch, :t_max]
 
     occ, cb, cl = occupancy_coefficients(alphas, betas, ll_fwd, ilen, slen)
     # Write grads in the logits dtype: for bf16 training this halves the

@@ -125,6 +125,28 @@ def dp_tiles(batch: int, t_max: int, s1: int):
     return bt, b_pad, tt, t_pad
 
 
+def _resolve_scan_tiles(tiles, tiles_fn, batch, t_max, lanes):
+    """Tile sizes for a DP scan over already-padded [batch, t_max, lanes].
+
+    Orchestrators size the padding with dp_tiles/dp_tiles_banded on the
+    UNPADDED shapes and must pass the same (BT, TT) here: recomputing from
+    the padded shapes can legitimately pick different tiles (the VMEM-budget
+    thresholds depend on the exact t), which would make the grid floor-divide
+    and silently skip tail rows. Standalone callers may omit `tiles` only
+    when the heuristic divides their shapes exactly.
+    """
+    if tiles is None:
+        bt, _, tt, _ = tiles_fn(batch, t_max, lanes)
+    else:
+        bt, tt = tiles
+    if batch % bt or t_max % tt:
+        raise ValueError(
+            f"scan input [{batch}, {t_max}, {lanes}] not divisible by tiles "
+            f"(BT={bt}, TT={tt}); pad with the dp_tiles call that sized the "
+            "padding and pass tiles=(BT, TT) explicitly")
+    return bt, tt
+
+
 def dp_tiles_banded(batch: int, t_max: int, w: int):
     """DP tiling for the packed band layout (narrow rows, long T).
 
@@ -140,6 +162,21 @@ def dp_tiles_banded(batch: int, t_max: int, w: int):
     tt = min(round_up(t_max, 8), max(128, budget_rows // 8 * 8))
     t_pad = round_up(t_max, tt)
     return bt, b_pad, tt, t_pad
+
+
+def _label_operand(labels_ext, tt, s1):
+    """(operand, BlockSpec) for the label ids of a V-carrying kernel.
+
+    2-D [B, S1] labels (constant in t — the full-lattice layout) ride as a
+    singleton-t [B, 1, S1] block so no T-sized operand is materialized;
+    3-D [B, T, S1] labels (packed band layout, id varies with t) stream
+    per-t blocks. Kernel bodies broadcast either block shape identically.
+    """
+    if labels_ext.ndim == 2:
+        return labels_ext[:, None, :], pl.BlockSpec(
+            (1, 1, s1), lambda b, j, jv: (b, 0, 0), memory_space=pltpu.VMEM)
+    return labels_ext, pl.BlockSpec(
+        (1, tt, s1), lambda b, j, jv: (b, j, 0), memory_space=pltpu.VMEM)
 
 
 # ---------------------------------------------------------------------------
@@ -165,7 +202,7 @@ def _stats_kernel(x_ref, lab_ref, denom_ref, lpb_ref, lpl_ref, m_sc, se_sc,
     x = jnp.where(v_global < v_total, x, NEG_INF)
 
     m_blk = jnp.max(x, axis=-1)               # [TT, S1]
-    lab = lab_ref[0]                           # [TT, S1] (per-t label ids)
+    lab = lab_ref[0]                           # [1 or TT, S1] label ids
     blank_hit = jnp.where(v_global == blank_id, x, 0.0)
     label_hit = jnp.where(v_global == lab[:, :, None], x, 0.0)
     g_blk = jnp.stack([jnp.sum(blank_hit, axis=-1),
@@ -207,10 +244,8 @@ def softmax_stats(logits: jnp.ndarray, labels_ext: jnp.ndarray, blank_id: int,
     Returns (denom, lp_blank, lp_label_raw), each [B, T, S1] f32.
     """
     batch, t_max, s1, v = logits.shape
-    if labels_ext.ndim == 2:
-        labels_ext = jnp.broadcast_to(labels_ext[:, None, :],
-                                      (batch, t_max, s1))
     tt, vt = tiles or pick_tv_tiles(t_max, s1, v, n_bufs=1)
+    labels_ext, lab_spec = _label_operand(labels_ext, tt, s1)
     grid = (batch, pl.cdiv(t_max, tt), pl.cdiv(v, vt))
 
     small = _struct((batch, t_max, s1), jnp.float32,
@@ -223,8 +258,7 @@ def softmax_stats(logits: jnp.ndarray, labels_ext: jnp.ndarray, blank_id: int,
         in_specs=[
             pl.BlockSpec((1, tt, s1, vt), lambda b, j, jv: (b, j, 0, jv),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tt, s1), lambda b, j, jv: (b, j, 0),
-                         memory_space=pltpu.VMEM),
+            lab_spec,
         ],
         out_specs=(small_spec, small_spec, small_spec),
         out_shape=(small, small, small),
@@ -380,14 +414,15 @@ def _dp_spec(bt, tt, s1, reverse_t):
     return pl.BlockSpec((bt, tt, s1), idx, memory_space=pltpu.VMEM)
 
 
-def alpha_scan(lp_blank, lp_label, alpha_maskadd, interpret: bool = False):
+def alpha_scan(lp_blank, lp_label, alpha_maskadd, interpret: bool = False,
+               tiles=None):
     """Forward DP over the lattice; returns alphas [B, T, S1] (-inf off-band).
 
     B must be a multiple of the batch tile and T of the time tile (use
-    dp_tiles + padding; fused.py does this).
+    dp_tiles + padding and pass tiles=(BT, TT); fused.py does this).
     """
     batch, t_max, s1 = lp_blank.shape
-    bt, _, tt, _ = dp_tiles(batch, t_max, s1)
+    bt, tt = _resolve_scan_tiles(tiles, dp_tiles, batch, t_max, s1)
     grid = (batch // bt, t_max // tt)
     spec = _dp_spec(bt, tt, s1, reverse_t=False)
     return pl.pallas_call(
@@ -406,14 +441,14 @@ def alpha_scan(lp_blank, lp_label, alpha_maskadd, interpret: bool = False):
 
 
 def beta_scan(lp_blank, lp_label, beta_maskadd, input_lengths, beta_virtual,
-              interpret: bool = False):
+              interpret: bool = False, tiles=None):
     """Backward DP; returns betas [B, T, S1] (code convention beta(t, s)).
 
     input_lengths: [B, 1, 1] int32; beta_virtual: [B, S1] f32 rows equal to
     [s == S_b] in log space.
     """
     batch, t_max, s1 = lp_blank.shape
-    bt, _, tt, _ = dp_tiles(batch, t_max, s1)
+    bt, tt = _resolve_scan_tiles(tiles, dp_tiles, batch, t_max, s1)
     grid = (batch // bt, t_max // tt)
     spec = _dp_spec(bt, tt, s1, reverse_t=True)
     ilen_spec = pl.BlockSpec((bt, 1, 1), lambda b, j: (b, 0, 0),
@@ -552,14 +587,15 @@ def _fwdbwd_band_kernel(lpba_ref, lpla_ref, d_ref, lpbb_ref, lplb_ref,
 
 
 def fwdbwd_scan_banded(lpb_amask, lpl_amask, d, lpb_bmask, lpl_bmask, d_next,
-                       input_lengths, beta_virtual, interpret: bool = False):
+                       input_lengths, beta_virtual, interpret: bool = False,
+                       tiles=None):
     """Fused banded alpha+beta scans; returns (alphas, betas) [B, T, W].
 
     Operand contracts match alpha_scan_banded / beta_scan_banded (masks
     pre-folded; the alpha emit mask pre-shifted onto the source slot).
     """
     batch, t_max, w = lpb_amask.shape
-    bt, _, tt, _ = dp_tiles_banded(batch, t_max, w)
+    bt, tt = _resolve_scan_tiles(tiles, dp_tiles_banded, batch, t_max, w)
     grid = (batch // bt, t_max // tt)
     fwd = _dp_spec(bt, tt, w, reverse_t=False)
     bwd = _dp_spec(bt, tt, w, reverse_t=True)
@@ -589,14 +625,15 @@ def fwdbwd_scan_banded(lpb_amask, lpl_amask, d, lpb_bmask, lpl_bmask, d_next,
       beta_virtual)
 
 
-def alpha_scan_banded(lpb_masked, lpl_masked, d, interpret: bool = False):
+def alpha_scan_banded(lpb_masked, lpl_masked, d, interpret: bool = False,
+                      tiles=None):
     """Banded forward DP; transition scores carry the folded alpha mask.
 
     lpb_masked / lpl_masked: [B, T, W] f32; d: [B, T, 1] int32 window shifts.
     B and T must already be padded to full tiles (ops/pallas/banded.py).
     """
     batch, t_max, w = lpb_masked.shape
-    bt, _, tt, _ = dp_tiles_banded(batch, t_max, w)
+    bt, tt = _resolve_scan_tiles(tiles, dp_tiles_banded, batch, t_max, w)
     grid = (batch // bt, t_max // tt)
     spec = _dp_spec(bt, tt, w, reverse_t=False)
     d_spec = pl.BlockSpec((bt, tt, 1), lambda b, j: (b, j, 0),
@@ -617,7 +654,7 @@ def alpha_scan_banded(lpb_masked, lpl_masked, d, interpret: bool = False):
 
 
 def beta_scan_banded(lpb_masked, lpl_masked, d_next, input_lengths,
-                     beta_virtual, interpret: bool = False):
+                     beta_virtual, interpret: bool = False, tiles=None):
     """Banded backward DP (folded beta mask).
 
     d_next: [B, T, 1] int32 (d[t+1], 0 in the last column); beta_virtual:
@@ -682,10 +719,8 @@ def grad_pass(logits, denom, occ, cb, cl, labels_ext, blank_id: int,
     (band layout; see softmax_stats).
     """
     batch, t_max, s1, v = logits.shape
-    if labels_ext.ndim == 2:
-        labels_ext = jnp.broadcast_to(labels_ext[:, None, :],
-                                      (batch, t_max, s1))
     tt, vt = tiles or pick_tv_tiles(t_max, s1, v, n_bufs=2)
+    labels_ext, lab_spec = _label_operand(labels_ext, tt, s1)
     grid = (batch, pl.cdiv(t_max, tt), pl.cdiv(v, vt))
     big_spec = pl.BlockSpec((1, tt, s1, vt), lambda b, j, jv: (b, j, 0, jv),
                             memory_space=pltpu.VMEM)
@@ -695,7 +730,7 @@ def grad_pass(logits, denom, occ, cb, cl, labels_ext, blank_id: int,
         functools.partial(_grad_kernel, blank_id=blank_id, vt=vt),
         grid=grid,
         in_specs=[big_spec, small_spec, small_spec, small_spec, small_spec,
-                  small_spec],
+                  lab_spec],
         out_specs=big_spec,
         out_shape=_struct((batch, t_max, s1, v), out_dtype,
                           _vma(logits, denom, occ)),

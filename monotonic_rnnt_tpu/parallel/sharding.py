@@ -38,13 +38,18 @@ def _local_max_sumexp(x_local):
     """Pre-reduction (m, sum-exp) per lattice cell over the local V slice.
 
     On TPU the fused Pallas kernel does this in ONE read of the shard (the
-    XLA formulation below needs a max pass and a sum pass). The kernel is
-    gated on the actual device platform, not the config backend: interpret
-    mode cannot execute inside shard_map and a compiled Pallas call can't
-    run on CPU, so any non-TPU host keeps the XLA path regardless of
-    MRNNT_BACKEND.
+    XLA formulation below needs a max pass and a sum pass). Two gates:
+    the actual device platform (interpret mode cannot execute inside
+    shard_map and a compiled Pallas call can't run on CPU, so non-TPU hosts
+    keep the XLA path regardless of MRNNT_BACKEND), AND the resolved config
+    backend (MRNNT_BACKEND=reference must bypass the kernel on hardware too
+    — that is the whole point of the debug backend).
     """
-    if jax.default_backend() == "tpu" and not jax.config.jax_disable_jit:
+    from ..ops.loss import _resolve_backend
+
+    if (jax.default_backend() == "tpu"
+            and _resolve_backend(None) == "pallas"
+            and not jax.config.jax_disable_jit):
         from ..ops.pallas.kernels import softmax_stats_partial
 
         return softmax_stats_partial(x_local)

@@ -237,3 +237,29 @@ def test_band_layout_properties_random():
             # One slot narrower must clip somewhere (required is the minimum).
             assert not np.asarray(band_layout_is_exact(
                 ilen_j, slen_j, bands, t, s1, w_req - 1)).all()
+
+
+def test_banded_pallas_wide_window_tail_batch():
+    """Regression: W > 512 once flipped the recomputed batch tile between the
+    padded and unpadded shapes, so the scan grid floor-divided and the tail
+    batch rows were never written (NaN costs). Tiles are now threaded
+    explicitly from the orchestrator."""
+    rng = np.random.RandomState(0)
+    B, T, S, V = 17, 34, 512, 4
+    s1 = S + 1
+    labels = jnp.asarray(rng.randint(1, V, (B, S)).astype(np.int32))
+    ilen = jnp.full((B,), T, jnp.int32)
+    slen = jnp.full((B,), 20, jnp.int32)
+    bands = default_bands(ilen, slen, T)
+    layout = compute_band_layout(ilen, slen, bands, T, s1, s1)
+    assert layout.width == s1 > 512
+    logits_band = jnp.asarray(rng.randn(B, T, s1, V).astype(np.float32))
+
+    c_pal, g_pal = banded_pal(logits_band, labels, ilen, slen, bands,
+                              interpret=True)
+    c_ref, g_ref = banded_ref(logits_band, labels, ilen, slen, bands)
+    assert np.isfinite(np.asarray(c_pal)).all(), np.asarray(c_pal)
+    np.testing.assert_allclose(np.asarray(c_pal), np.asarray(c_ref),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(g_pal), np.asarray(g_ref),
+                               rtol=1e-4, atol=1e-5)
