@@ -268,20 +268,43 @@ def clip_bands_to_width(bands: Bands, layout: BandLayout) -> Bands:
                  jnp.minimum(bands.max_s, layout.offset + layout.width - 1))
 
 
+def band_relative_bounds(input_lengths, label_lengths, bands: Bands,
+                         layout: BandLayout, t_max: int, s1: int):
+    """Per-(b, t) inclusive DP windows in packed slot coordinates.
+
+    Returns (ra_lo, ra_hi, rb_lo, rb_hi), each [B, T] int32: the alpha/beta
+    reachability window at t expressed relative to layout.offset[t] (width
+    clipping applied). Frames t >= T_b get an empty window (lo=1, hi=0).
+    Single source of truth for the band-coordinate masks — consumed both by
+    band_lattice_masks (bool masks for the XLA paths) and by the banded
+    stats kernel, which folds the masks into the transition streams
+    directly from these bounds.
+    """
+    clipped = clip_bands_to_width(bands, layout)
+    ilen = input_lengths.astype(jnp.int32)[:, None]
+    t_idx = jnp.arange(t_max, dtype=jnp.int32)[None, :]
+    a_lo, a_hi, b_lo, b_hi = _window_bounds(input_lengths, label_lengths,
+                                            clipped, t_max, s1)
+    valid_t = t_idx < ilen
+
+    def rel(lo, hi):
+        return (jnp.where(valid_t, lo - layout.offset, 1),
+                jnp.where(valid_t, hi - layout.offset, 0))
+
+    ra_lo, ra_hi = rel(a_lo, a_hi)
+    rb_lo, rb_hi = rel(b_lo, b_hi)
+    return ra_lo, ra_hi, rb_lo, rb_hi
+
+
 def band_lattice_masks(input_lengths, label_lengths, bands: Bands,
                        layout: BandLayout, t_max: int,
                        s1: int) -> LatticeMasks:
     """Alpha/beta reachability masks in packed band coordinates [B, T, W]."""
-    clipped = clip_bands_to_width(bands, layout)
-    ilen = input_lengths.astype(jnp.int32)[:, None, None]
-    t_idx = jnp.arange(t_max, dtype=jnp.int32)[None, :, None]
-    a_lo, a_hi, b_lo, b_hi = _window_bounds(input_lengths, label_lengths,
-                                            clipped, t_max, s1)
-    s = layout.offset[:, :, None] + jnp.arange(layout.width,
-                                               dtype=jnp.int32)[None, None, :]
-    valid_t = t_idx < ilen
-    alpha = (s >= a_lo[:, :, None]) & (s <= a_hi[:, :, None]) & valid_t
-    beta = (s >= b_lo[:, :, None]) & (s <= b_hi[:, :, None]) & valid_t
+    ra_lo, ra_hi, rb_lo, rb_hi = band_relative_bounds(
+        input_lengths, label_lengths, bands, layout, t_max, s1)
+    w_idx = jnp.arange(layout.width, dtype=jnp.int32)[None, None, :]
+    alpha = (w_idx >= ra_lo[:, :, None]) & (w_idx <= ra_hi[:, :, None])
+    beta = (w_idx >= rb_lo[:, :, None]) & (w_idx <= rb_hi[:, :, None])
     return LatticeMasks(alpha=alpha, beta=beta)
 
 

@@ -4,26 +4,27 @@ Mirrors ops/pallas/fused.py on the packed [B, T, W, V] band layout
 (ops/bands.py): HBM traffic is 2 reads + 1 write of the *band* tensor, i.e.
 W/(S+1) of the unrestricted pipeline's — the TPU equivalent of the
 reference's band-pruned storage and kernels (cpu_workspace_manager.h:286-297,
-gpu_rnnt_kernel.h:58-72). The small [B, T, W] glue (masks, occupancy
-coefficients, ll gather) stays in XLA, shared with the banded oracle in
-ops/banded.py so the two paths cannot diverge on band semantics.
+gpu_rnnt_kernel.h:58-72). The stats kernel folds the reachability masks into
+the DP operand streams directly from the per-(b, t) window bounds
+(bands.band_relative_bounds — the same bounds the XLA oracle's masks are
+built from, so the paths cannot diverge), leaving only O(B·T) glue (layout,
+shifts, terminal gather) plus the occupancy coefficients to XLA.
 """
 
 from __future__ import annotations
 
 from typing import Optional, Tuple
 
-import jax
 import jax.numpy as jnp
 
 from ...utils.config import get_config
 from ...utils.debug import emit_loss_debug
 from ..banded import band_labels, band_occupancy_coefficients
-from ..bands import (Bands, band_final_slot, band_lattice_masks,
+from ..bands import (Bands, band_final_slot, band_relative_bounds,
                      band_virtual_next_rows, compute_band_layout)
-from ..helpers import NEG_INF, mask_to_additive, shift_left_s
+from ..helpers import NEG_INF
 from .kernels import (alpha_scan_banded, dp_tiles_banded, fwdbwd_scan_banded,
-                      grad_pass, softmax_stats)
+                      grad_pass, softmax_stats_banded)
 
 
 def rnnt_loss_banded_pallas(
@@ -49,17 +50,14 @@ def rnnt_loss_banded_pallas(
     slen = label_lengths.astype(jnp.int32)
 
     layout = compute_band_layout(ilen, slen, bands, t_max, s1, w)
-    masks = band_lattice_masks(ilen, slen, bands, layout, t_max, s1)
     lab_band = band_labels(labels, slen, layout, s1)
+    rel_bounds = band_relative_bounds(ilen, slen, bands, layout, t_max, s1)
 
-    denom, lp_blank, lpl_raw = softmax_stats(logits_band, lab_band, blank_id,
-                                             interpret=interpret)
-    lp_label = jnp.where(lab_band >= 0, lpl_raw, NEG_INF)
+    stats = softmax_stats_banded(logits_band, lab_band, rel_bounds, blank_id,
+                                 with_beta=with_grads, interpret=interpret)
 
-    # Fold the reachability masks into the transition scores (see kernels.py;
-    # the alpha emit mask is pre-shifted onto the source slot) and pad B/T so
-    # every DP block is full. Pad value NEG_INF keeps padded rows off-lattice.
-    amask = mask_to_additive(masks.alpha)
+    # Pad B/T so every DP block is full; pad value NEG_INF keeps padded rows
+    # off-lattice.
     bt, b_pad, tt, t_pad = dp_tiles_banded(batch, t_max, w)
 
     def _pad_small(x, fill):
@@ -67,26 +65,26 @@ def rnnt_loss_banded_pallas(
                        constant_values=fill)
 
     d_p = _pad_small(layout.d[:, :, None], 0)
-    lpba_p = _pad_small(lp_blank + amask, NEG_INF)
-    lpla_p = _pad_small(lp_label + shift_left_s(amask), NEG_INF)
 
     if with_grads:
+        denom, lpba, lpla, lpbb, lplb = stats
         # One bidirectional kernel advances both serial chains per step —
         # the scans' wall time is loop/dependency latency, not VPU work.
-        bmask = mask_to_additive(masks.beta)
         bvirt = band_virtual_next_rows(layout, slen)
         ilen_p = jnp.pad(ilen, (0, b_pad - batch), constant_values=1)
         alphas, betas = fwdbwd_scan_banded(
-            lpba_p, lpla_p, d_p,
-            _pad_small(lp_blank + bmask, NEG_INF),
-            _pad_small(lp_label + bmask, NEG_INF),
+            _pad_small(lpba, NEG_INF), _pad_small(lpla, NEG_INF), d_p,
+            _pad_small(lpbb, NEG_INF), _pad_small(lplb, NEG_INF),
             _pad_small(layout.d_next[:, :, None], 0),
             ilen_p[:, None, None], _pad_small(bvirt, NEG_INF),
             interpret=interpret, tiles=(bt, tt))
         alphas = alphas[:batch, :t_max]
         betas = betas[:batch, :t_max]
     else:
-        alphas = alpha_scan_banded(lpba_p, lpla_p, d_p, interpret=interpret,
+        denom, lpba, lpla = stats
+        alphas = alpha_scan_banded(_pad_small(lpba, NEG_INF),
+                                   _pad_small(lpla, NEG_INF), d_p,
+                                   interpret=interpret,
                                    tiles=(bt, tt))[:batch, :t_max]
 
     ll_fwd = band_final_slot(alphas, layout, ilen, slen)

@@ -272,6 +272,120 @@ def softmax_stats(logits: jnp.ndarray, labels_ext: jnp.ndarray, blank_id: int,
     )(logits, labels_ext)
 
 
+def _stats_banded_kernel(x_ref, lab_ref, ralo_ref, rahi_ref, rblo_ref,
+                         rbhi_ref, *out_and_scratch, blank_id, v_total, vt,
+                         with_beta):
+    """Banded stats with the reachability masks folded into the outputs.
+
+    Emits the DP kernels' exact operand streams — (denom, lpb+amask,
+    lpl+shifted-amask[, lpb+bmask, lpl+bmask]) — so the orchestrator's XLA
+    glue never materializes [B, T, W] masks. The alpha emit mask (the
+    destination mask read at the source slot, see _alpha_band_kernel) is the
+    alpha window shifted by one: bounds minus 1, no roll needed. Window
+    bounds arrive per-(b, t) in packed slot coordinates
+    (bands.band_relative_bounds).
+    """
+    if with_beta:
+        denom_ref, lpba_ref, lpla_ref, lpbb_ref, lplb_ref = out_and_scratch[:5]
+        m_sc, se_sc, g_sc = out_and_scratch[5:]
+    else:
+        denom_ref, lpba_ref, lpla_ref = out_and_scratch[:3]
+        m_sc, se_sc, g_sc = out_and_scratch[3:]
+    jv = pl.program_id(2)
+    nv = pl.num_programs(2)
+    x = x_ref[0].astype(jnp.float32)          # [TT, W, VT]
+
+    v_global = jv * vt + jax.lax.broadcasted_iota(jnp.int32, x.shape, 2)
+    x = jnp.where(v_global < v_total, x, NEG_INF)
+
+    m_blk = jnp.max(x, axis=-1)               # [TT, W]
+    lab = lab_ref[0]                           # [TT, W]
+    blank_hit = jnp.where(v_global == blank_id, x, 0.0)
+    label_hit = jnp.where(v_global == lab[:, :, None], x, 0.0)
+    g_blk = jnp.stack([jnp.sum(blank_hit, axis=-1),
+                       jnp.sum(label_hit, axis=-1)])
+
+    @pl.when(jv == 0)
+    def _():
+        m_sc[...] = m_blk
+        se_sc[...] = jnp.sum(jnp.exp(x - m_blk[..., None]), axis=-1)
+        g_sc[...] = g_blk
+
+    @pl.when(jv > 0)
+    def _():
+        m_old = m_sc[...]
+        m_new = jnp.maximum(m_old, m_blk)
+        se_sc[...] = (se_sc[...] * jnp.exp(m_old - m_new) +
+                      jnp.sum(jnp.exp(x - m_new[..., None]), axis=-1))
+        m_sc[...] = m_new
+        g_sc[...] = g_sc[...] + g_blk
+
+    @pl.when(jv == nv - 1)
+    def _():
+        denom = -(m_sc[...] + jnp.log(se_sc[...]))
+        denom_ref[0] = denom
+        lpb = g_sc[0] + denom
+        lpl = jnp.where(lab >= 0, g_sc[1] + denom, NEG_INF)
+        w_iota = jax.lax.broadcasted_iota(jnp.int32, lpb.shape, 1)
+
+        def madd(lo_ref, hi_ref, shift=0):
+            lo = lo_ref[0][:, :1] - shift      # [TT, 1]
+            hi = hi_ref[0][:, :1] - shift
+            return jnp.where((w_iota >= lo) & (w_iota <= hi), 0.0, NEG_INF)
+
+        lpba_ref[0] = lpb + madd(ralo_ref, rahi_ref)
+        lpla_ref[0] = lpl + madd(ralo_ref, rahi_ref, shift=1)
+        if with_beta:
+            bm = madd(rblo_ref, rbhi_ref)
+            lpbb_ref[0] = lpb + bm
+            lplb_ref[0] = lpl + bm
+
+
+def softmax_stats_banded(logits_band, lab_band, rel_bounds, blank_id: int,
+                         with_beta: bool = True, interpret: bool = False,
+                         tiles=None):
+    """Banded stats + folded reachability masks in one read of the band.
+
+    Args:
+      logits_band: [B, T, W, V]; lab_band: [B, T, W] int32 (-1 sentinel).
+      rel_bounds: (ra_lo, ra_hi, rb_lo, rb_hi) [B, T] int32 windows in slot
+        coordinates (bands.band_relative_bounds).
+    Returns (denom, lpb_amask, lpl_amask_shifted[, lpb_bmask, lpl_bmask]) —
+    exactly the operand streams of the banded DP kernels.
+    """
+    batch, t_max, w, v = logits_band.shape
+    tt, vt = tiles or pick_tv_tiles(t_max, w, v, n_bufs=1)
+    grid = (batch, pl.cdiv(t_max, tt), pl.cdiv(v, vt))
+    n_out = 5 if with_beta else 3
+
+    small = _struct((batch, t_max, w), jnp.float32,
+                    _vma(logits_band, lab_band, *rel_bounds))
+    small_spec = pl.BlockSpec((1, tt, w), lambda b, j, jv: (b, j, 0),
+                              memory_space=pltpu.VMEM)
+    bound_spec = pl.BlockSpec((1, tt, 1), lambda b, j, jv: (b, j, 0),
+                              memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_stats_banded_kernel, blank_id=blank_id, v_total=v,
+                          vt=vt, with_beta=with_beta),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, tt, w, vt), lambda b, j, jv: (b, j, 0, jv),
+                         memory_space=pltpu.VMEM),
+            small_spec,
+            bound_spec, bound_spec, bound_spec, bound_spec,
+        ],
+        out_specs=(small_spec,) * n_out,
+        out_shape=(small,) * n_out,
+        scratch_shapes=[pltpu.VMEM((tt, w), jnp.float32),
+                        pltpu.VMEM((tt, w), jnp.float32),
+                        pltpu.VMEM((2, tt, w), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=_VMEM_LIMIT.vmem_limit_bytes),
+        interpret=interpret,
+    )(logits_band, lab_band, *(b[:, :, None] for b in rel_bounds))
+
+
 def _stats_partial_kernel(x_ref, m_ref, se_ref, m_sc, se_sc, *, v_total,
                           vt):
     """Local (m, sum-exp) softmax statistics — the vocab-sharded TP variant.
