@@ -61,6 +61,7 @@ def main(argv=None):
     p.add_argument("--V", type=int, default=1024)
     p.add_argument("--shift", type=int, default=20)
     p.add_argument("--iters", type=int, default=80)
+    p.add_argument("--dtype", default="f32", choices=["f32", "bf16"])
     p.add_argument("--backend", default="pallas",
                    choices=["pallas", "reference"])
     p.add_argument("--json-out", default=None)
@@ -78,6 +79,9 @@ def main(argv=None):
 
     B, T, S, V = args.B, args.T, args.S, args.V
     case = build_case(B, T, S, V, args.shift)
+    if args.dtype == "bf16":
+        case["logits"] = case["logits"].astype(jnp.bfloat16)
+        case["logits_band"] = case["logits_band"].astype(jnp.bfloat16)
     s1 = S + 1
     print(f"# band width: required {case['w_req']}, padded {case['w']} "
           f"(vs S+1={s1}; cell ratio {s1 / case['w']:.2f}x)", file=sys.stderr)
@@ -100,7 +104,8 @@ def main(argv=None):
     c_band, g_band = jax.jit(band_fn)(case["logits_band"], *common)
     cost_err = float(jnp.max(jnp.abs(c_full - c_band)))
     g_scat = unpack_band(g_band, case["layout"], s1)
-    grad_err = float(jnp.max(jnp.abs(g_full - g_scat)))
+    grad_err = float(jnp.max(jnp.abs(g_full.astype(jnp.float32)
+                                     - g_scat.astype(jnp.float32))))
 
     # Two-point dispatch-corrected timing: the axon tunnel's ~30 ms fixed
     # dispatch cost would otherwise swamp the banded path's few-ms iterations.
@@ -115,7 +120,8 @@ def main(argv=None):
     cells = B * T * s1 * V
     result = {
         "metric": f"banded fwd-bwd+grad speedup "
-                  f"(B={B},T={T},S={S},V={V},shift={args.shift})",
+                  f"(B={B},T={T},S={S},V={V},shift={args.shift},"
+                  f"{args.dtype})",
         "value": round(t_full / t_band, 3),
         "unit": "x vs full-lattice",
         "full_ms": round(t_full * 1e3, 3),

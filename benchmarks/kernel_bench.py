@@ -34,6 +34,9 @@ def main(argv=None):
     p.add_argument("--cost-only", action="store_true")
     p.add_argument("--align-shift", type=int, default=None,
                    help="benchmark the alignment-restricted variant")
+    p.add_argument("--banded", action="store_true",
+                   help="with --align-shift: run the packed band-layout "
+                        "pipeline instead of the full-lattice one")
     args = p.parse_args(argv)
 
     import jax
@@ -64,13 +67,37 @@ def main(argv=None):
     else:
         bands = default_bands(ilen, slen, T)
 
-    def step(x, labels, ilen, slen):
-        costs, grads = _run(x, labels, ilen, slen, bands, 0, backend,
-                            with_grads=not args.cost_only)
-        fb = costs[0]
-        if grads is not None:
-            fb = fb + grads[0, 0, 0, 0]
-        return fb
+    if args.banded:
+        if args.align_shift is None:
+            p.error("--banded requires --align-shift")
+        from monotonic_rnnt_tpu.ops.banded import _run_banded
+        from monotonic_rnnt_tpu.ops.bands import (compute_band_layout,
+                                                  pack_band,
+                                                  required_band_width)
+
+        w = min(S + 1,
+                -(-int(required_band_width(ilen, slen, bands, T, S + 1))
+                  // 8) * 8)
+        layout = compute_band_layout(ilen, slen, bands, T, S + 1, w)
+        logits = jax.device_put(pack_band(logits, layout))
+        print(f"packed band width {w} (vs S+1={S + 1})")
+
+        def step(x, labels, ilen, slen):
+            costs, grads = _run_banded(x, labels, ilen, slen, bands, 0,
+                                       backend,
+                                       with_grads=not args.cost_only)
+            fb = costs[0]
+            if grads is not None:
+                fb = fb + grads[0, 0, 0, 0].astype(jnp.float32)
+            return fb
+    else:
+        def step(x, labels, ilen, slen):
+            costs, grads = _run(x, labels, ilen, slen, bands, 0, backend,
+                                with_grads=not args.cost_only)
+            fb = costs[0]
+            if grads is not None:
+                fb = fb + grads[0, 0, 0, 0].astype(jnp.float32)
+            return fb
 
     mean_s, var_s = dependent_loop_bench(
         step, default_perturb, lambda out: out * 1e-20,
