@@ -32,7 +32,8 @@ def build_case(B, T, S, V, shift, seed=0):
     import jax.numpy as jnp
     from monotonic_rnnt_tpu.ops.bands import (bands_from_alignment,
                                               compute_band_layout, pack_band,
-                                              required_band_width)
+                                              required_band_width,
+                                              suggested_band_width)
 
     rng = np.random.RandomState(seed)
     logits = jax.device_put(rng.randn(B, T, S + 1, V).astype(np.float32))
@@ -45,7 +46,7 @@ def build_case(B, T, S, V, shift, seed=0):
         align[b, pos] = np.asarray(labels[b])
     bands = bands_from_alignment(jnp.asarray(align), ilen, slen, shift, 0)
     w_req = int(required_band_width(ilen, slen, bands, T, S + 1))
-    w = min(S + 1, -(-w_req // 8) * 8)  # round up to sublane multiple
+    w = suggested_band_width(ilen, slen, bands, T, S + 1)
     layout = compute_band_layout(ilen, slen, bands, T, S + 1, w)
     logits_band = jax.device_put(pack_band(logits, layout))
     return dict(logits=logits, logits_band=logits_band, labels=labels,
@@ -120,8 +121,8 @@ def main(argv=None):
     cells = B * T * s1 * V
     result = {
         "metric": f"banded fwd-bwd+grad speedup "
-                  f"(B={B},T={T},S={S},V={V},shift={args.shift},"
-                  f"{args.dtype})",
+                  f"(B={B},T={T},S={S},V={V},shift={args.shift}"
+                  f"{',bf16' if args.dtype == 'bf16' else ''})",
         "value": round(t_full / t_band, 3),
         "unit": "x vs full-lattice",
         "full_ms": round(t_full * 1e3, 3),

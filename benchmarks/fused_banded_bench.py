@@ -60,7 +60,7 @@ def main(argv=None):
     import jax
     import jax.numpy as jnp
     from monotonic_rnnt_tpu.ops.bands import (bands_from_alignment,
-                                              required_band_width)
+                                              suggested_band_width)
     from monotonic_rnnt_tpu.ops.chunked import rnnt_loss_fused_joint
     from monotonic_rnnt_tpu.ops.chunked_banded import \
         rnnt_loss_fused_joint_banded
@@ -81,8 +81,7 @@ def main(argv=None):
         align[b, pos] = np.asarray(labels[b])
     bands = bands_from_alignment(jnp.asarray(align), ilen, slen, args.shift,
                                  0)
-    w = min(S + 1, -(-int(required_band_width(ilen, slen, bands, T, S + 1))
-                     // 8) * 8)
+    w = suggested_band_width(ilen, slen, bands, T, S + 1)
     params = {
         "we": jax.device_put(rng.randn(args.De, H).astype(np.float32)
                              * (args.De ** -0.5)),

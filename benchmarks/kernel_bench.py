@@ -67,54 +67,51 @@ def main(argv=None):
     else:
         bands = default_bands(ilen, slen, T)
 
+    s_rows = S + 1  # lattice rows actually streamed (W when banded)
     if args.banded:
         if args.align_shift is None:
             p.error("--banded requires --align-shift")
         from monotonic_rnnt_tpu.ops.banded import _run_banded
         from monotonic_rnnt_tpu.ops.bands import (compute_band_layout,
                                                   pack_band,
-                                                  required_band_width)
+                                                  suggested_band_width)
 
-        w = min(S + 1,
-                -(-int(required_band_width(ilen, slen, bands, T, S + 1))
-                  // 8) * 8)
+        w = suggested_band_width(ilen, slen, bands, T, S + 1)
         layout = compute_band_layout(ilen, slen, bands, T, S + 1, w)
         logits = jax.device_put(pack_band(logits, layout))
+        s_rows = w
         print(f"packed band width {w} (vs S+1={S + 1})")
 
-        def step(x, labels, ilen, slen):
-            costs, grads = _run_banded(x, labels, ilen, slen, bands, 0,
-                                       backend,
-                                       with_grads=not args.cost_only)
-            fb = costs[0]
-            if grads is not None:
-                fb = fb + grads[0, 0, 0, 0].astype(jnp.float32)
-            return fb
-    else:
-        def step(x, labels, ilen, slen):
-            costs, grads = _run(x, labels, ilen, slen, bands, 0, backend,
-                                with_grads=not args.cost_only)
-            fb = costs[0]
-            if grads is not None:
-                fb = fb + grads[0, 0, 0, 0].astype(jnp.float32)
-            return fb
+    runner = _run_banded if args.banded else (
+        lambda x, la, il, sl, bd, blank, be, with_grads:
+        _run(x, la, il, sl, bd, blank, be, with_grads))
+
+    def step(x, labels, ilen, slen):
+        costs, grads = runner(x, labels, ilen, slen, bands, 0, backend,
+                              not args.cost_only)
+        fb = costs[0]
+        if grads is not None:
+            fb = fb + grads[0, 0, 0, 0].astype(jnp.float32)
+        return fb
 
     mean_s, var_s = dependent_loop_bench(
         step, default_perturb, lambda out: out * 1e-20,
         (logits, labels, ilen, slen), iters=args.iters)
 
-    cells = B * T * (S + 1)
+    cells = B * T * s_rows
     bpe = 2 if args.dtype == "bf16" else 4
     passes = 1 if args.cost_only else 3
-    traffic = passes * B * T * (S + 1) * V * bpe
+    traffic = passes * B * T * s_rows * V * bpe
     print(f"backend={backend} dtype={args.dtype} "
           f"{'cost-only' if args.cost_only else 'fwd+bwd+grad'} "
-          f"B={B} T={T} S={S} V={V}")
+          f"B={B} T={T} S={S} V={V}"
+          f"{f' (banded W={s_rows})' if args.banded else ''}")
     print(f"mean {mean_s * 1e3:.3f} ms/iter (var {var_s * 1e6:.4f} ms^2, "
           f"{args.iters} iters)")
     print(f"{cells / mean_s / 1e6:.1f} Mcells/s, "
           f"{traffic / mean_s / 1e9:.1f} GB/s effective "
-          f"({passes} logical passes over the activation tensor)")
+          f"({passes} logical passes over the "
+          f"{'packed band' if args.banded else 'activation'} tensor)")
 
 
 if __name__ == "__main__":

@@ -19,7 +19,7 @@ from .ops.banded import monotonic_rnnt_loss_banded
 from .ops.bands import (BandLayout, Bands, band_layout_is_exact,
                         bands_from_alignment, compute_band_layout,
                         default_bands, pack_band, required_band_width,
-                        unpack_band)
+                        suggested_band_width, unpack_band)
 from .ops.chunked import rnnt_loss_fused_joint
 from .ops.chunked_banded import rnnt_loss_fused_joint_banded
 from .ops.loss import monotonic_rnnt_alignment_score, monotonic_rnnt_loss
@@ -50,6 +50,7 @@ __all__ = [
     "compute_band_layout",
     "band_layout_is_exact",
     "required_band_width",
+    "suggested_band_width",
     "pack_band",
     "unpack_band",
     "pack_acts",

@@ -262,6 +262,18 @@ def required_band_width(input_lengths, label_lengths, bands: Bands,
     return jnp.max(jnp.where(t_valid, span, 1))
 
 
+def suggested_band_width(input_lengths, label_lengths, bands: Bands,
+                         t_max: int, s1: int) -> int:
+    """required_band_width rounded up to a sublane multiple, capped at s1.
+
+    The one-liner every caller wants when sizing a packed layout from
+    concrete bands: exact coverage plus clean Mosaic tiling.
+    """
+    req = int(required_band_width(input_lengths, label_lengths, bands, t_max,
+                                  s1))
+    return int(min(s1, -(-req // 8) * 8))
+
+
 def clip_bands_to_width(bands: Bands, layout: BandLayout) -> Bands:
     """The bands the packed path actually computes: max_s clipped to the window."""
     return Bands(bands.min_s,

@@ -184,14 +184,15 @@ def _label_operand(labels_ext, tt, s1):
 # ---------------------------------------------------------------------------
 
 
-def _stats_kernel(x_ref, lab_ref, denom_ref, lpb_ref, lpl_ref, m_sc, se_sc,
-                  g_sc, *, blank_id, v_total, vt):
-    """Online logsumexp over V-blocks (single pass when the grid's V dim is 1).
+def _online_lse_step(x_ref, lab_ref, m_sc, se_sc, g_sc, *, blank_id,
+                     v_total, vt):
+    """One V-block step of the fused softmax statistics.
 
-    Scratch carries across the innermost ('arbitrary') grid dimension:
-      m_sc  — running max, se_sc — running sum(exp(x - m)),
-      g_sc  — blank/label raw logits packed as [2, TT, S1] (exactly one
-              V-block contributes each, accumulated by masked sum).
+    Accumulates the online logsumexp (running max + rescaled sum-exp) and the
+    blank/label raw-logit gathers into scratch across the innermost
+    ('arbitrary') grid dimension; shared by the full-lattice and banded stats
+    kernels, which differ only in what they emit on the final block. Returns
+    (jv, nv, lab) for the caller's emission branch.
     """
     jv = pl.program_id(2)
     nv = pl.num_programs(2)
@@ -222,6 +223,15 @@ def _stats_kernel(x_ref, lab_ref, denom_ref, lpb_ref, lpl_ref, m_sc, se_sc,
                       jnp.sum(jnp.exp(x - m_new[..., None]), axis=-1))
         m_sc[...] = m_new
         g_sc[...] = g_sc[...] + g_blk
+
+    return jv, nv, lab
+
+
+def _stats_kernel(x_ref, lab_ref, denom_ref, lpb_ref, lpl_ref, m_sc, se_sc,
+                  g_sc, *, blank_id, v_total, vt):
+    """Fused softmax statistics (see _online_lse_step for the accumulation)."""
+    jv, nv, _ = _online_lse_step(x_ref, lab_ref, m_sc, se_sc, g_sc,
+                                 blank_id=blank_id, v_total=v_total, vt=vt)
 
     @pl.when(jv == nv - 1)
     def _():
@@ -291,34 +301,8 @@ def _stats_banded_kernel(x_ref, lab_ref, ralo_ref, rahi_ref, rblo_ref,
     else:
         denom_ref, lpba_ref, lpla_ref = out_and_scratch[:3]
         m_sc, se_sc, g_sc = out_and_scratch[3:]
-    jv = pl.program_id(2)
-    nv = pl.num_programs(2)
-    x = x_ref[0].astype(jnp.float32)          # [TT, W, VT]
-
-    v_global = jv * vt + jax.lax.broadcasted_iota(jnp.int32, x.shape, 2)
-    x = jnp.where(v_global < v_total, x, NEG_INF)
-
-    m_blk = jnp.max(x, axis=-1)               # [TT, W]
-    lab = lab_ref[0]                           # [TT, W]
-    blank_hit = jnp.where(v_global == blank_id, x, 0.0)
-    label_hit = jnp.where(v_global == lab[:, :, None], x, 0.0)
-    g_blk = jnp.stack([jnp.sum(blank_hit, axis=-1),
-                       jnp.sum(label_hit, axis=-1)])
-
-    @pl.when(jv == 0)
-    def _():
-        m_sc[...] = m_blk
-        se_sc[...] = jnp.sum(jnp.exp(x - m_blk[..., None]), axis=-1)
-        g_sc[...] = g_blk
-
-    @pl.when(jv > 0)
-    def _():
-        m_old = m_sc[...]
-        m_new = jnp.maximum(m_old, m_blk)
-        se_sc[...] = (se_sc[...] * jnp.exp(m_old - m_new) +
-                      jnp.sum(jnp.exp(x - m_new[..., None]), axis=-1))
-        m_sc[...] = m_new
-        g_sc[...] = g_sc[...] + g_blk
+    jv, nv, lab = _online_lse_step(x_ref, lab_ref, m_sc, se_sc, g_sc,
+                                   blank_id=blank_id, v_total=v_total, vt=vt)
 
     @pl.when(jv == nv - 1)
     def _():

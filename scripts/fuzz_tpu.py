@@ -128,14 +128,13 @@ def main(argv=None):
         if use_band:
             from monotonic_rnnt_tpu.ops.bands import (compute_band_layout,
                                                       pack_band,
-                                                      required_band_width,
+                                                      suggested_band_width,
                                                       unpack_band)
             from monotonic_rnnt_tpu.ops.pallas.banded import \
                 rnnt_loss_banded_pallas
 
             s1 = labels.shape[1] + 1
-            w = min(s1, -(-int(required_band_width(il, sl, bands, T, s1))
-                          // 8) * 8)
+            w = suggested_band_width(il, sl, bands, T, s1)
             layout = compute_band_layout(il, sl, bands, T, s1, w)
             lb = pack_band(x, layout)
             c3, g3 = jax.jit(rnnt_loss_banded_pallas,

@@ -167,7 +167,7 @@ def main(argv=None):
         from monotonic_rnnt_tpu.ops.banded import rnnt_loss_banded_reference
         from monotonic_rnnt_tpu.ops.bands import (compute_band_layout,
                                                   pack_band,
-                                                  required_band_width,
+                                                  suggested_band_width,
                                                   unpack_band)
         from monotonic_rnnt_tpu.ops.pallas.banded import \
             rnnt_loss_banded_pallas
@@ -182,8 +182,7 @@ def main(argv=None):
             pos = np.sort(rng.choice(T, size=S, replace=False))
             align[b, pos] = np.asarray(labels[b])
         bands = bands_from_alignment(jnp.asarray(align), il, sl, shift, 0)
-        w = min(S + 1, -(-int(required_band_width(il, sl, bands, T, S + 1))
-                         // 8) * 8)
+        w = suggested_band_width(il, sl, bands, T, S + 1)
         layout = compute_band_layout(il, sl, bands, T, S + 1, w)
         lb = pack_band(logits, layout)
         c1, g1 = jax.jit(rnnt_loss_banded_pallas,
