@@ -263,3 +263,39 @@ def test_banded_pallas_wide_window_tail_batch():
                                rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(np.asarray(g_pal), np.asarray(g_ref),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_banded_stats_vocab_tiled_matches_oracle():
+    """Force the multi-V-block online-LSE path of softmax_stats_banded
+    (VT=128 over V=300: 3 blocks, overhanging last block) and compare the
+    mask-folded streams against the XLA formulation."""
+    from monotonic_rnnt_tpu.ops.banded import band_labels, band_stats
+    from monotonic_rnnt_tpu.ops.bands import (band_lattice_masks,
+                                              band_relative_bounds)
+    from monotonic_rnnt_tpu.ops.helpers import mask_to_additive, shift_left_s
+    from monotonic_rnnt_tpu.ops.pallas.kernels import softmax_stats_banded
+
+    logits, labels, ilen, slen, bands = _banded_case(13, 2, 18, 6, 300, 2)
+    t, s1 = 18, 7
+    w = int(required_band_width(ilen, slen, bands, t, s1))
+    layout = compute_band_layout(ilen, slen, bands, t, s1, w)
+    lb = pack_band(logits, layout)
+    lab_band = band_labels(labels, slen, layout, s1)
+    rel = band_relative_bounds(ilen, slen, bands, layout, t, s1)
+
+    got = softmax_stats_banded(lb, lab_band, rel, 0, with_beta=True,
+                               interpret=True, tiles=(8, 128))
+    stats = band_stats(lb, lab_band, 0)
+    masks = band_lattice_masks(ilen, slen, bands, layout, t, s1)
+    amask = mask_to_additive(masks.alpha)
+    bmask = mask_to_additive(masks.beta)
+    want = (stats.denom, stats.lp_blank + amask,
+            stats.lp_label + shift_left_s(amask),
+            stats.lp_blank + bmask, stats.lp_label + bmask)
+    for g, e, name in zip(got, want,
+                          ("denom", "lpba", "lpla", "lpbb", "lplb")):
+        ge, ee = np.asarray(g), np.asarray(e)
+        fin = np.isfinite(ee)
+        assert (np.isfinite(ge) == fin).all(), name
+        np.testing.assert_allclose(ge[fin], ee[fin], rtol=1e-5, atol=1e-5,
+                                   err_msg=name)
