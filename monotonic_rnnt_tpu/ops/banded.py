@@ -55,11 +55,27 @@ class BandStats(NamedTuple):
 
 def band_labels(labels: jnp.ndarray, label_lengths: jnp.ndarray,
                 layout: BandLayout, s1: int) -> jnp.ndarray:
-    """[B, T, W] int32 label id per packed slot (-1 sentinel where invalid)."""
+    """[B, T, W] int32 label id per packed slot (-1 sentinel where invalid).
+
+    Implemented as one-hot(offset) @ sliding-windows rather than a [B, T, W]
+    take_along_axis: XLA lowers multi-dim gathers on TPU to serialized
+    dynamic slices (~0.5 ms at B=2, T=1600 — a quarter of the whole banded
+    loss), while this form is one tiny MXU matmul. Precision HIGHEST is
+    load-bearing: the TPU default runs f32 matmuls as single-pass bf16,
+    which rounds label ids above 256; HIGHEST is exact for integers far
+    below 2^24, and each output picks exactly one window row.
+    """
     lab_ext = extend_labels(labels, label_lengths, s1)
-    idx = layout.offset[:, :, None] + jnp.arange(layout.width,
-                                                 dtype=jnp.int32)[None, None, :]
-    return jnp.take_along_axis(lab_ext[:, None, :], idx, axis=2)
+    w = layout.width
+    padded = jnp.pad(lab_ext, ((0, 0), (0, w - 1)), constant_values=-1)
+    windows = jnp.stack([padded[:, k:k + s1] for k in range(w)],
+                        axis=-1).astype(jnp.float32)       # [B, S1, W]
+    onehot = jax.nn.one_hot(layout.offset, s1, dtype=jnp.float32)
+    out = jnp.einsum("bts,bsw->btw", onehot, windows,
+                     preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)
+    return jax.lax.round(out, jax.lax.RoundingMethod.TO_NEAREST_EVEN).astype(
+        jnp.int32)
 
 
 def band_stats(logits_band: jnp.ndarray, lab_band: jnp.ndarray,

@@ -640,7 +640,7 @@ def _beta_band_kernel(lpb_ref, lpl_ref, dn_ref, ilen_ref, bvirt_ref,
 
 def _fwdbwd_band_kernel(lpba_ref, lpla_ref, d_ref, lpbb_ref, lplb_ref,
                         dn_ref, ilen_ref, bvirt_ref, alphas_ref, betas_ref,
-                        acarry, bcarry, *, tt):
+                        acarry, bcarry, *, tt, unroll):
     """Bidirectional banded DP: one loop iteration advances alpha at row i
     AND beta at row tt-1-i. The two chains are independent, so fusing them
     halves the serial wall time of the scan phase (the per-step vector work
@@ -659,34 +659,46 @@ def _fwdbwd_band_kernel(lpba_ref, lpla_ref, d_ref, lpbb_ref, lplb_ref,
 
     t0b = (pl.num_programs(1) - 1 - j) * tt
 
-    def body(i, _):
+    def step(i, anew, bnew):
         # Forward (alpha) step at local row i — see _alpha_band_kernel.
-        prev = acarry[...]
         shifted = d_ref[:, i, :] == 1
-        aligned = jnp.where(shifted, _shift_down_s(prev), prev)
+        aligned = jnp.where(shifted, _shift_down_s(anew), anew)
         anew = log_sum_exp(aligned + lpba_ref[:, i, :],
                            _shift_up_s(aligned + lpla_ref[:, i, :]))
-        acarry[...] = anew
         alphas_ref[:, i, :] = anew
 
         # Backward (beta) step at local row tt-1-i — see _beta_band_kernel.
         ti = tt - 1 - i
         use_virtual = t0b + ti + 1 >= ilen_ref[:, :, 0]
-        nxt = jnp.where(use_virtual, bvirt_ref[:, ti, :], bcarry[...])
+        nxt = jnp.where(use_virtual, bvirt_ref[:, ti, :], bnew)
         dn1 = dn_ref[:, ti, :] == 1
         bnew = log_sum_exp(
             jnp.where(dn1, _shift_up_s(nxt), nxt) + lpbb_ref[:, ti, :],
             jnp.where(dn1, nxt, _shift_down_s(nxt)) + lplb_ref[:, ti, :])
-        bcarry[...] = bnew
         betas_ref[:, ti, :] = bnew
+        return anew, bnew
+
+    # The scan phase is serial-latency bound (its traffic is O(B*T*W) f32 —
+    # ~1 MB at the banded bench shape), dominated by per-iteration loop
+    # overhead rather than VPU work. Mosaic supports no partial fori_loop
+    # unroll, so unroll manually: `unroll` dependency-chain steps per loop
+    # iteration, carries kept in registers between them.
+    u = next(f for f in (unroll, 8, 4, 2, 1) if tt % f == 0)
+
+    def body(iu, _):
+        anew, bnew = acarry[...], bcarry[...]
+        for k in range(u):
+            anew, bnew = step(iu * u + k, anew, bnew)
+        acarry[...] = anew
+        bcarry[...] = bnew
         return 0
 
-    jax.lax.fori_loop(0, tt, body, 0)
+    jax.lax.fori_loop(0, tt // u, body, 0)
 
 
 def fwdbwd_scan_banded(lpb_amask, lpl_amask, d, lpb_bmask, lpl_bmask, d_next,
                        input_lengths, beta_virtual, interpret: bool = False,
-                       tiles=None):
+                       tiles=None, unroll: int = 8):
     """Fused banded alpha+beta scans; returns (alphas, betas) [B, T, W].
 
     Operand contracts match alpha_scan_banded / beta_scan_banded (masks
@@ -708,7 +720,7 @@ def fwdbwd_scan_banded(lpb_amask, lpl_amask, d, lpb_bmask, lpl_bmask, d_next,
                   _vma(lpb_amask, lpl_amask, d, lpb_bmask, lpl_bmask,
                        d_next, input_lengths))
     return pl.pallas_call(
-        functools.partial(_fwdbwd_band_kernel, tt=tt),
+        functools.partial(_fwdbwd_band_kernel, tt=tt, unroll=unroll),
         grid=grid,
         in_specs=[fwd, fwd, d_fwd, bwd, bwd, d_bwd, ilen_spec, bwd],
         out_specs=(fwd, bwd),

@@ -299,3 +299,29 @@ def test_banded_stats_vocab_tiled_matches_oracle():
         assert (np.isfinite(ge) == fin).all(), name
         np.testing.assert_allclose(ge[fin], ee[fin], rtol=1e-5, atol=1e-5,
                                    err_msg=name)
+
+
+def test_band_labels_matmul_matches_gather():
+    """band_labels is a one-hot matmul (TPU gathers serialize); pin it to
+    the take_along_axis semantics it replaced, including the -1 sentinel in
+    out-of-range window slots and large label ids (>256, which a bf16 MXU
+    pass would round — the matmul must run at exact precision)."""
+    from monotonic_rnnt_tpu.ops.banded import band_labels
+    from monotonic_rnnt_tpu.ops.helpers import extend_labels
+
+    rng = np.random.RandomState(21)
+    for _ in range(8):
+        t = rng.randint(6, 50)
+        s = rng.randint(1, min(12, t))
+        batch, v = rng.randint(1, 4), 1024
+        logits, labels, ilen, slen, bands = _banded_case(
+            rng.randint(10_000), batch, t, s, v, rng.randint(0, 4))
+        s1 = s + 1
+        w = int(required_band_width(ilen, slen, bands, t, s1))
+        layout = compute_band_layout(ilen, slen, bands, t, s1, w)
+        got = band_labels(labels, slen, layout, s1)
+        lab_ext = extend_labels(labels, slen, s1)
+        idx = layout.offset[:, :, None] + jnp.arange(
+            w, dtype=jnp.int32)[None, None, :]
+        want = jnp.take_along_axis(lab_ext[:, None, :], idx, axis=2)
+        assert (np.asarray(got) == np.asarray(want)).all()
