@@ -638,59 +638,70 @@ def _beta_band_kernel(lpb_ref, lpl_ref, dn_ref, ilen_ref, bvirt_ref,
     jax.lax.fori_loop(0, tt, body, 0)
 
 
-def _fwdbwd_band_kernel(lpba_ref, lpla_ref, d_ref, lpbb_ref, lplb_ref,
-                        dn_ref, ilen_ref, bvirt_ref, alphas_ref, betas_ref,
-                        acarry, bcarry, *, tt, unroll):
-    """Bidirectional banded DP: one loop iteration advances alpha at row i
-    AND beta at row tt-1-i. The two chains are independent, so fusing them
-    halves the serial wall time of the scan phase (the per-step vector work
-    is tiny; the cost is dependency-chain latency and loop overhead, both
-    shared here). Alpha blocks stream forward, beta blocks backward — each
-    operand carries its own index map.
+def _fwdbwd_band_kernel(str1_ref, str2_ref, pred_ref, uv_ref, bvp_ref,
+                        out_ref, carry, *, tt, w, unroll):
+    """Bidirectional banded DP on lane-packed chains.
+
+    The alpha and beta chains are independent serial recurrences whose wall
+    time is pure dependency latency (the traffic is O(B*T*W) f32 — ~1 MB at
+    the banded bench shape). Packing alpha into lanes [0, W) and beta into
+    [W, 2W) of one carry row makes every per-step vector op serve both
+    chains at once: one roll pair, one select cascade, one LSE. The beta
+    operand rows arrive pre-reversed in t (see fwdbwd_scan_banded), so both
+    chains walk the SAME ascending row index; every data-dependent choice
+    (window shift d / d_next, the t+1 >= T_b virtual-boundary switch) is a
+    precomputed operand stream, leaving zero scalar work in the chain.
+
+    Per step, with x the packed carry (after the virtual fix x1):
+      alpha half: LSE( sel(d, down(x1), x1) + lp_blank,
+                       sel(d, mask0(x1), up(x1)) + up(lp_label) )
+      beta half:  LSE( sel(dn, up(x1), x1) + lp_blank,
+                       sel(dn, x1, down(x1)) + lp_label )
+    which share the rolls and fold into two selects on [bt, 2W] rows. The
+    identity up(aligned + lp_label) = up(aligned) + up(lp_label) moves the
+    alpha emit shift onto the precomputed stream (str2), and
+    up(down(x)) = mask-lane-0(x) removes the double roll.
     """
     j = pl.program_id(1)
-    bt, _, w = alphas_ref.shape
+    bt, _, w2 = out_ref.shape
 
     @pl.when(j == 0)
     def _():
-        lane = jax.lax.broadcasted_iota(jnp.int32, (bt, w), 1)
-        acarry[...] = jnp.where(lane == 0, 0.0, NEG_INF)
-        bcarry[...] = jnp.full((bt, w), NEG_INF, jnp.float32)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (bt, w2), 1)
+        carry[...] = jnp.where(lane == 0, 0.0, NEG_INF)
 
-    t0b = (pl.num_programs(1) - 1 - j) * tt
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, w2), 1)
+    half_left = lane < w
+    up_fill = (lane == 0) | (lane == w)                    # roll +1 edges
+    dn_fill = (lane == w - 1) | (lane == w2 - 1)           # roll -1 edges
+    lane0 = lane == 0
 
-    def step(i, anew, bnew):
-        # Forward (alpha) step at local row i — see _alpha_band_kernel.
-        shifted = d_ref[:, i, :] == 1
-        aligned = jnp.where(shifted, _shift_down_s(anew), anew)
-        anew = log_sum_exp(aligned + lpba_ref[:, i, :],
-                           _shift_up_s(aligned + lpla_ref[:, i, :]))
-        alphas_ref[:, i, :] = anew
-
-        # Backward (beta) step at local row tt-1-i — see _beta_band_kernel.
-        ti = tt - 1 - i
-        use_virtual = t0b + ti + 1 >= ilen_ref[:, :, 0]
-        nxt = jnp.where(use_virtual, bvirt_ref[:, ti, :], bnew)
-        dn1 = dn_ref[:, ti, :] == 1
-        bnew = log_sum_exp(
-            jnp.where(dn1, _shift_up_s(nxt), nxt) + lpbb_ref[:, ti, :],
-            jnp.where(dn1, nxt, _shift_down_s(nxt)) + lplb_ref[:, ti, :])
-        betas_ref[:, ti, :] = bnew
-        return anew, bnew
-
-    # The scan phase is serial-latency bound (its traffic is O(B*T*W) f32 —
-    # ~1 MB at the banded bench shape), dominated by per-iteration loop
-    # overhead rather than VPU work. Mosaic supports no partial fori_loop
-    # unroll, so unroll manually: `unroll` dependency-chain steps per loop
-    # iteration, carries kept in registers between them.
     u = next(f for f in (unroll, 8, 4, 2, 1) if tt % f == 0)
 
+    def step(k, ops, x):
+        str1_c, str2_c, pred_c, uv_c, bvp_c = ops
+        x1 = jnp.where(uv_c[:, k, :], bvp_c[:, k, :], x)
+        up_x = jnp.where(up_fill, NEG_INF, jnp.roll(x1, 1, axis=1))
+        dn_x = jnp.where(dn_fill, NEG_INF, jnp.roll(x1, -1, axis=1))
+        p = pred_c[:, k, :]
+        v1 = jnp.where(half_left, dn_x, up_x)
+        ta = jnp.where(p, v1, x1) + str1_c[:, k, :]
+        a2 = jnp.where(half_left & lane0, NEG_INF, x1)
+        b2 = jnp.where(half_left, up_x, dn_x)
+        tb = jnp.where(p, a2, b2) + str2_c[:, k, :]
+        return log_sum_exp(ta, tb)
+
     def body(iu, _):
-        anew, bnew = acarry[...], bcarry[...]
+        sl = pl.dslice(iu * u, u)
+        ops = (str1_ref[:, sl, :], str2_ref[:, sl, :], pred_ref[:, sl, :],
+               uv_ref[:, sl, :], bvp_ref[:, sl, :])
+        x = carry[...]
+        rows = []
         for k in range(u):
-            anew, bnew = step(iu * u + k, anew, bnew)
-        acarry[...] = anew
-        bcarry[...] = bnew
+            x = step(k, ops, x)
+            rows.append(x)
+        out_ref[:, sl, :] = jnp.stack(rows, axis=1)
+        carry[...] = x
         return 0
 
     jax.lax.fori_loop(0, tt // u, body, 0)
@@ -698,41 +709,53 @@ def _fwdbwd_band_kernel(lpba_ref, lpla_ref, d_ref, lpbb_ref, lplb_ref,
 
 def fwdbwd_scan_banded(lpb_amask, lpl_amask, d, lpb_bmask, lpl_bmask, d_next,
                        input_lengths, beta_virtual, interpret: bool = False,
-                       tiles=None, unroll: int = 8):
+                       tiles=None, unroll: int = 4):
     """Fused banded alpha+beta scans; returns (alphas, betas) [B, T, W].
 
     Operand contracts match alpha_scan_banded / beta_scan_banded (masks
-    pre-folded; the alpha emit mask pre-shifted onto the source slot).
+    pre-folded; the alpha emit mask pre-shifted onto the source slot). The
+    kernel runs both chains lane-packed in one [bt, 2W] carry (see
+    _fwdbwd_band_kernel); this wrapper builds the packed operand streams —
+    beta streams reversed in t so both chains share an ascending row walk,
+    the alpha emit values pre-shifted, and the d / d_next / virtual-boundary
+    decisions expanded to boolean lanes.
     """
     batch, t_max, w = lpb_amask.shape
     bt, tt = _resolve_scan_tiles(tiles, dp_tiles_banded, batch, t_max, w)
     grid = (batch // bt, t_max // tt)
-    fwd = _dp_spec(bt, tt, w, reverse_t=False)
-    bwd = _dp_spec(bt, tt, w, reverse_t=True)
-    d_fwd = pl.BlockSpec((bt, tt, 1), lambda b, j: (b, j, 0),
-                         memory_space=pltpu.VMEM)
-    d_bwd = pl.BlockSpec((bt, tt, 1),
-                         lambda b, j: (b, pl.num_programs(1) - 1 - j, 0),
-                         memory_space=pltpu.VMEM)
-    ilen_spec = pl.BlockSpec((bt, 1, 1), lambda b, j: (b, 0, 0),
-                             memory_space=pltpu.VMEM)
-    out = _struct((batch, t_max, w), jnp.float32,
+
+    flip = lambda x: jnp.flip(x, axis=1)
+    cat = lambda a, b: jnp.concatenate([a, flip(b)], axis=-1)
+    lpla_up = jnp.pad(lpl_amask[:, :, :-1], ((0, 0), (0, 0), (1, 0)),
+                      constant_values=NEG_INF)
+    str1 = cat(lpb_amask, lpb_bmask)
+    str2 = cat(lpla_up, lpl_bmask)
+    bc = lambda p: jnp.broadcast_to(p, (batch, t_max, w))
+    pred = cat(bc(d == 1), bc(d_next == 1))
+    t_idx = jnp.arange(t_max, dtype=jnp.int32)[None, :, None]
+    uv = cat(jnp.zeros((batch, t_max, w), bool),
+             bc(t_idx + 1 >= input_lengths))
+    bvp = cat(jnp.full((batch, t_max, w), NEG_INF, jnp.float32),
+              beta_virtual)
+
+    w2 = 2 * w
+    spec = _dp_spec(bt, tt, w2, reverse_t=False)
+    out = _struct((batch, t_max, w2), jnp.float32,
                   _vma(lpb_amask, lpl_amask, d, lpb_bmask, lpl_bmask,
                        d_next, input_lengths))
-    return pl.pallas_call(
-        functools.partial(_fwdbwd_band_kernel, tt=tt, unroll=unroll),
+    packed = pl.pallas_call(
+        functools.partial(_fwdbwd_band_kernel, tt=tt, w=w, unroll=unroll),
         grid=grid,
-        in_specs=[fwd, fwd, d_fwd, bwd, bwd, d_bwd, ilen_spec, bwd],
-        out_specs=(fwd, bwd),
-        out_shape=(out, out),
-        scratch_shapes=[pltpu.VMEM((bt, w), jnp.float32),
-                        pltpu.VMEM((bt, w), jnp.float32)],
+        in_specs=[spec] * 5,
+        out_specs=spec,
+        out_shape=out,
+        scratch_shapes=[pltpu.VMEM((bt, w2), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
             vmem_limit_bytes=_VMEM_LIMIT.vmem_limit_bytes),
         interpret=interpret,
-    )(lpb_amask, lpl_amask, d, lpb_bmask, lpl_bmask, d_next, input_lengths,
-      beta_virtual)
+    )(str1, str2, pred, uv, bvp)
+    return packed[..., :w], flip(packed[..., w:])
 
 
 def alpha_scan_banded(lpb_masked, lpl_masked, d, interpret: bool = False,
