@@ -609,35 +609,6 @@ def _alpha_band_kernel(lpb_ref, lpl_ref, d_ref, alphas_ref, carry):
     jax.lax.fori_loop(0, tt, body, 0)
 
 
-def _beta_band_kernel(lpb_ref, lpl_ref, dn_ref, ilen_ref, bvirt_ref,
-                      betas_ref, carry, *, tt):
-    j = pl.program_id(1)
-    bt, _, w = betas_ref.shape
-
-    @pl.when(j == 0)
-    def _():
-        carry[...] = jnp.full((bt, w), NEG_INF, jnp.float32)
-
-    t0 = (pl.num_programs(1) - 1 - j) * tt
-
-    def body(i, _):
-        ti = tt - 1 - i
-        t = t0 + ti
-        use_virtual = t + 1 >= ilen_ref[:, :, 0]   # [BT, 1]
-        nxt = jnp.where(use_virtual, bvirt_ref[:, ti, :], carry[...])
-        shifted = dn_ref[:, ti, :] == 1
-        # beta(t+1) rows sit at w - d_next: d_next == 1 reads nxt[w-1]
-        # (no-emit) and nxt[w] (emit); d_next == 0, nxt[w] and nxt[w+1].
-        no_emit = jnp.where(shifted, _shift_up_s(nxt), nxt) + lpb_ref[:, ti, :]
-        emit = jnp.where(shifted, nxt, _shift_down_s(nxt)) + lpl_ref[:, ti, :]
-        new = log_sum_exp(no_emit, emit)
-        carry[...] = new
-        betas_ref[:, ti, :] = new
-        return 0
-
-    jax.lax.fori_loop(0, tt, body, 0)
-
-
 def _fwdbwd_band_kernel(str1_ref, str2_ref, pred_ref, uv_ref, bvp_ref,
                         out_ref, carry, *, tt, w, unroll):
     """Bidirectional banded DP on lane-packed chains.
@@ -712,7 +683,8 @@ def fwdbwd_scan_banded(lpb_amask, lpl_amask, d, lpb_bmask, lpl_bmask, d_next,
                        tiles=None, unroll: int = 4):
     """Fused banded alpha+beta scans; returns (alphas, betas) [B, T, W].
 
-    Operand contracts match alpha_scan_banded / beta_scan_banded (masks
+    Operand contracts match alpha_scan_banded and its mirrored beta
+    formulation (masks
     pre-folded; the alpha emit mask pre-shifted onto the source slot). The
     kernel runs both chains lane-packed in one [bt, 2W] carry (see
     _fwdbwd_band_kernel); this wrapper builds the packed operand streams —
@@ -784,39 +756,6 @@ def alpha_scan_banded(lpb_masked, lpl_masked, d, interpret: bool = False,
             vmem_limit_bytes=_VMEM_LIMIT.vmem_limit_bytes),
         interpret=interpret,
     )(lpb_masked, lpl_masked, d)
-
-
-def beta_scan_banded(lpb_masked, lpl_masked, d_next, input_lengths,
-                     beta_virtual, interpret: bool = False, tiles=None):
-    """Banded backward DP (folded beta mask).
-
-    d_next: [B, T, 1] int32 (d[t+1], 0 in the last column); beta_virtual:
-    [B, T, W] f32 — the [s == S_b] boundary row expressed in the packed
-    coordinates of t+1; input_lengths: [B, 1, 1] int32.
-    """
-    batch, t_max, w = lpb_masked.shape
-    bt, _, tt, _ = dp_tiles_banded(batch, t_max, w)
-    grid = (batch // bt, t_max // tt)
-    spec = _dp_spec(bt, tt, w, reverse_t=True)
-    dn_spec = pl.BlockSpec((bt, tt, 1),
-                           lambda b, j: (b, pl.num_programs(1) - 1 - j, 0),
-                           memory_space=pltpu.VMEM)
-    ilen_spec = pl.BlockSpec((bt, 1, 1), lambda b, j: (b, 0, 0),
-                             memory_space=pltpu.VMEM)
-    return pl.pallas_call(
-        functools.partial(_beta_band_kernel, tt=tt),
-        grid=grid,
-        in_specs=[spec, spec, dn_spec, ilen_spec, spec],
-        out_specs=spec,
-        out_shape=_struct((batch, t_max, w), jnp.float32,
-                          _vma(lpb_masked, lpl_masked, d_next,
-                               input_lengths)),
-        scratch_shapes=[pltpu.VMEM((bt, w), jnp.float32)],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary"),
-            vmem_limit_bytes=_VMEM_LIMIT.vmem_limit_bytes),
-        interpret=interpret,
-    )(lpb_masked, lpl_masked, d_next, input_lengths, beta_virtual)
 
 
 # ---------------------------------------------------------------------------

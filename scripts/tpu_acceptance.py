@@ -198,6 +198,40 @@ def main(argv=None):
     check("banded packed long-sequence (2,1600,200,1024, shift 20)",
           lambda: banded_packed(2, 1600, 200, 1024, 20))
 
+    def fwdbwd_multi_block():
+        # The lane-packed fused scan pre-reverses beta's operand rows in t;
+        # a compiled grid with several time blocks must chain both carries
+        # across blocks exactly like the single-block run (cf. the
+        # interpret-mode twin in tests/test_banded.py).
+        from monotonic_rnnt_tpu.ops.helpers import NEG_INF
+        from monotonic_rnnt_tpu.ops.pallas.kernels import fwdbwd_scan_banded
+
+        rng = np.random.RandomState(33)
+        B, T, W = 2, 64, 16
+        mk = lambda: jnp.asarray(rng.randn(B, T, W).astype(np.float32))
+        lpba, lpla, lpbb, lplb = mk(), mk(), mk(), mk()
+        d = jnp.asarray(rng.randint(0, 2, (B, T, 1)).astype(np.int32))
+        dn = jnp.asarray(rng.randint(0, 2, (B, T, 1)).astype(np.int32))
+        il = jnp.asarray([[[64]], [[49]]], jnp.int32)
+        bv = jnp.where(jnp.asarray(rng.rand(B, T, W) < 0.2), 0.0,
+                       NEG_INF).astype(jnp.float32)
+        args_k = (lpba, lpla, d, lpbb, lplb, dn, il, bv)
+        run = jax.jit(lambda tt: fwdbwd_scan_banded(*args_k, tiles=(B, tt)),
+                      static_argnums=0)
+        a1, b1 = run(T)
+        a4, b4 = run(T // 4)
+        for x, y in ((a1, a4), (b1, b4)):
+            x, y = np.asarray(x), np.asarray(y)
+            # Unreachable cells are legitimately -inf in both runs; comparing
+            # them by subtraction would produce inf - inf = NaN.
+            fin = np.isfinite(x)
+            assert (fin == np.isfinite(y)).all()
+            err = float(np.max(np.abs(x[fin] - y[fin]), initial=0.0))
+            assert err == 0.0, err
+
+    check("banded fused scan multi-t-block carry (compiled)",
+          fwdbwd_multi_block)
+
     if args.json_out:
         import json
 

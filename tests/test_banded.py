@@ -325,3 +325,31 @@ def test_band_labels_matmul_matches_gather():
             w, dtype=jnp.int32)[None, None, :]
         want = jnp.take_along_axis(lab_ext[:, None, :], idx, axis=2)
         assert (np.asarray(got) == np.asarray(want)).all()
+
+
+def test_fwdbwd_scan_banded_multi_t_block():
+    """The lane-packed fused scan pre-reverses the beta streams in t, so a
+    grid with several time blocks must still chain both carries correctly
+    (alpha ascending, beta descending through ascending flipped blocks).
+    Compare a 4-block run against the single-block run of the same inputs."""
+    from monotonic_rnnt_tpu.ops.helpers import NEG_INF
+    from monotonic_rnnt_tpu.ops.pallas.kernels import fwdbwd_scan_banded
+
+    rng = np.random.RandomState(33)
+    batch, t, w = 2, 32, 8
+    mk = lambda: jnp.asarray(rng.randn(batch, t, w).astype(np.float32))
+    lpba, lpla, lpbb, lplb = mk(), mk(), mk(), mk()
+    d = jnp.asarray(rng.randint(0, 2, (batch, t, 1)).astype(np.int32))
+    dn = jnp.asarray(rng.randint(0, 2, (batch, t, 1)).astype(np.int32))
+    ilen = jnp.asarray([[ [32] ], [[ 27 ]]], jnp.int32)
+    bvirt = jnp.where(
+        jnp.asarray(rng.rand(batch, t, w) < 0.2), 0.0, NEG_INF
+    ).astype(jnp.float32)
+
+    args = (lpba, lpla, d, lpbb, lplb, dn, ilen, bvirt)
+    a1, b1 = fwdbwd_scan_banded(*args, interpret=True, tiles=(batch, t))
+    a4, b4 = fwdbwd_scan_banded(*args, interpret=True, tiles=(batch, t // 4))
+    np.testing.assert_allclose(np.asarray(a4), np.asarray(a1),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(b4), np.asarray(b1),
+                               rtol=1e-6, atol=1e-6)
