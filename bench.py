@@ -98,6 +98,24 @@ def main():
     hbm_bw = 2 * nbytes / t_copy                      # measured stream rate
     sol_time = 3 * nbytes / hbm_bw                    # 2 reads + 1 write
     roofline_frac = sol_time / t_loss
+
+    # Dispatch-corrected secondary figures: the axon tunnel adds a ~30 ms
+    # fixed cost per dispatch, which at K=30 folds ~1 ms/iter into BOTH the
+    # loss and copy loops above. The headline keeps the uncorrected method
+    # (numerator and denominator pay the same overhead, and it stays
+    # comparable across rounds); these report the two-point-corrected
+    # per-iter times and the roofline fraction rebuilt from them.
+    K2 = K // 4
+    loss_loop2 = jax.jit(
+        lambda x: jax.lax.fori_loop(0, K2, loss_body, (x, jnp.float32(0)))[1])
+    copy_loop2 = jax.jit(lambda x: jax.lax.fori_loop(0, K2, copy_body, x))
+    # timed() divides by K; undo to totals, then fit total = oh + n*per_iter.
+    total_loss2 = timed(loss_loop2, logits, lambda r: r) * K
+    total_copy2 = timed(copy_loop2, logits, lambda r: r[0, 0, 0, :2]) * K
+    t_loss_c = (t_loss * K - total_loss2) / (K - K2)
+    t_copy_c = (t_copy * K - total_copy2) / (K - K2)
+    hbm_bw_c = 2 * nbytes / t_copy_c
+    roofline_frac_c = (3 * nbytes / hbm_bw_c) / t_loss_c
     # Also report the fraction against the chip's *spec* bandwidth so the
     # measured-copy headline can't be misread as "% of hardware peak". The
     # measured ceiling is the honest achievable bound through this runtime
@@ -137,6 +155,11 @@ def main():
             "max_grad_err_vs_oracle": max_grad_err,
             "bf16_iter_ms": round(t_loss16 * 1e3, 3),
             "cost_only_iter_ms": round(t_cost * 1e3, 3),
+            "dispatch_corrected": {
+                "iter_ms": round(t_loss_c * 1e3, 3),
+                "measured_hbm_GBps": round(hbm_bw_c / 1e9, 1),
+                "roofline_fraction": round(roofline_frac_c, 3),
+            },
             "backend": backend,
             "device": str(jax.devices()[0]),
         },
