@@ -255,6 +255,13 @@ def softmax_stats(logits: jnp.ndarray, labels_ext: jnp.ndarray, blank_id: int,
     """
     batch, t_max, s1, v = logits.shape
     tt, vt = tiles or pick_tv_tiles(t_max, s1, v, n_bufs=1)
+    if tiles is None and vt >= round_up(v, 128) and vt >= 512:
+        # Measured on v5e at the headline shape (S1=51, V=1000): this
+        # read-dominated kernel streams fastest with the smallest legal time
+        # tile — 711 GB/s at TT=8 vs 674 at the budget pick of 16 (more,
+        # smaller blocks pipeline the DMA better). Applies only to the
+        # single-V-block large-slab regime the measurement covered.
+        tt = 8
     labels_ext, lab_spec = _label_operand(labels_ext, tt, s1)
     grid = (batch, pl.cdiv(t_max, tt), pl.cdiv(v, vt))
 
@@ -792,6 +799,15 @@ def grad_pass(logits, denom, occ, cb, cl, labels_ext, blank_id: int,
     """
     batch, t_max, s1, v = logits.shape
     tt, vt = tiles or pick_tv_tiles(t_max, s1, v, n_bufs=2)
+    if tiles is None and vt >= round_up(v, 128) and vt >= 512 and t_max >= 16:
+        # Measured on v5e at the headline shape: this read+write kernel
+        # plateaus at TT=16 (583 GB/s vs 571 at the budget pick of 8). The
+        # doubled block (2 bufs x 2 double-buffered x [16, S1r, VT] f32,
+        # ~15 MB at S1=51, V=1024) sits well under the 64 MB scoped-VMEM
+        # limit; single-V-block large-slab regime only. Raise-only: narrow
+        # layouts (e.g. the banded [B, T, W, V] path) already pick larger
+        # tiles and keep them.
+        tt = max(tt, 16)
     labels_ext, lab_spec = _label_operand(labels_ext, tt, s1)
     grid = (batch, pl.cdiv(t_max, tt), pl.cdiv(v, vt))
     big_spec = pl.BlockSpec((1, tt, s1, vt), lambda b, j, jv: (b, j, 0, jv),
