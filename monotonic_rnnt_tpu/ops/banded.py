@@ -201,11 +201,16 @@ def band_occupancy_coefficients(alphas, betas, ll, input_lengths,
 
 
 def band_gradients(logits_band, denom, lab_band, occ, cb, cl,
-                   blank_id: int) -> jnp.ndarray:
-    """Assemble dL/dz on the packed layout (XLA path)."""
+                   blank_id: int, v_offset=0) -> jnp.ndarray:
+    """Assemble dL/dz on the packed layout (XLA path).
+
+    v_offset shifts local vocab indices to global ids (vocab-sharded TP path,
+    where this shard holds columns [v_offset, v_offset + V_local) of the
+    packed band tensor; cf. reference.gradients_from_coefficients).
+    """
     v = logits_band.shape[-1]
     p = jnp.exp(logits_band.astype(jnp.float32) + denom[..., None])
-    v_idx = jnp.arange(v, dtype=jnp.int32)[None, None, None, :]
+    v_idx = (jnp.arange(v, dtype=jnp.int32) + v_offset)[None, None, None, :]
     blank_mask = v_idx == blank_id
     label_mask = v_idx == lab_band[..., None]
     coef = (occ[..., None]

@@ -82,6 +82,81 @@ def test_blank_on_nonzero_shard():
     np.testing.assert_allclose(got, float(jnp.sum(ref_costs)), rtol=1e-5)
 
 
+def _banded_tp_case(seed, batch, t, s, v, shift, blank_id=0):
+    """Packed-band case: random monotonic alignment -> band -> packed logits."""
+    from monotonic_rnnt_tpu.ops.bands import (bands_from_alignment,
+                                              compute_band_layout, pack_band,
+                                              required_band_width)
+    rng = np.random.RandomState(seed)
+    logits = jnp.asarray(rng.randn(batch, t, s + 1, v).astype(np.float32))
+    lab_lo, lab_hi = (1, v) if blank_id == 0 else (0, blank_id)
+    labels = jnp.asarray(
+        rng.randint(lab_lo, lab_hi, size=(batch, s)).astype(np.int32))
+    ilen = rng.randint(max(s, 1), t + 1, size=(batch,)).astype(np.int32)
+    slen = rng.randint(0, np.minimum(s, ilen) + 1, size=(batch,)).astype(
+        np.int32)
+    align = np.full((batch, t), blank_id, np.int32)
+    for b in range(batch):
+        pos = np.sort(rng.choice(ilen[b], size=slen[b], replace=False))
+        align[b, pos] = np.asarray(labels)[b, :slen[b]]
+    ilen, slen = jnp.asarray(ilen), jnp.asarray(slen)
+    bands = bands_from_alignment(jnp.asarray(align), ilen, slen, shift,
+                                 blank_id)
+    w = int(required_band_width(ilen, slen, bands, t, s + 1))
+    layout = compute_band_layout(ilen, slen, bands, t, s + 1, w)
+    logits_band = pack_band(logits, layout)
+    return logits_band, labels, ilen, slen, bands
+
+
+@pytest.mark.parametrize("data,model", [(2, 4), (1, 8)])
+def test_dp_tp_banded_matches_banded_oracle(data, model):
+    from monotonic_rnnt_tpu.ops.banded import rnnt_loss_banded_reference
+    from monotonic_rnnt_tpu.parallel import make_dp_tp_banded_loss
+
+    logits_band, labels, ilen, slen, bands = _banded_tp_case(
+        5, batch=4, t=14, s=5, v=32, shift=2)
+    mesh = make_mesh(data=data, model=model)
+    loss_fn = make_dp_tp_banded_loss(mesh, mean_over_batch=False)
+    got = float(loss_fn(logits_band, labels, ilen, slen,
+                        bands.min_s, bands.max_s))
+    ref_costs, _ = rnnt_loss_banded_reference(logits_band, labels, ilen, slen,
+                                              bands)
+    np.testing.assert_allclose(got, float(jnp.sum(ref_costs)), rtol=1e-5)
+
+
+def test_dp_tp_banded_gradients_match_banded_oracle():
+    from monotonic_rnnt_tpu.ops.banded import rnnt_loss_banded_reference
+    from monotonic_rnnt_tpu.parallel import make_dp_tp_banded_loss
+
+    logits_band, labels, ilen, slen, bands = _banded_tp_case(
+        6, batch=4, t=12, s=4, v=16, shift=1)
+    mesh = make_mesh(data=2, model=4)
+    loss_fn = make_dp_tp_banded_loss(mesh, mean_over_batch=False)
+    g_tp = jax.grad(lambda lb: loss_fn(lb, labels, ilen, slen,
+                                       bands.min_s, bands.max_s))(logits_band)
+    _, g_ref = rnnt_loss_banded_reference(logits_band, labels, ilen, slen,
+                                          bands)
+    np.testing.assert_allclose(np.asarray(g_tp), np.asarray(g_ref),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_dp_tp_banded_blank_on_nonzero_shard():
+    from monotonic_rnnt_tpu.ops.banded import rnnt_loss_banded_reference
+    from monotonic_rnnt_tpu.parallel import make_dp_tp_banded_loss
+
+    blank = 9  # model=4 over v=16 -> v_local=4, blank lives on shard 2
+    logits_band, labels, ilen, slen, bands = _banded_tp_case(
+        7, batch=4, t=10, s=3, v=16, shift=1, blank_id=blank)
+    mesh = make_mesh(data=1, model=4)
+    loss_fn = make_dp_tp_banded_loss(mesh, blank_id=blank,
+                                     mean_over_batch=False)
+    got = float(loss_fn(logits_band, labels, ilen, slen,
+                        bands.min_s, bands.max_s))
+    ref_costs, _ = rnnt_loss_banded_reference(logits_band, labels, ilen, slen,
+                                              bands, blank_id=blank)
+    np.testing.assert_allclose(got, float(jnp.sum(ref_costs)), rtol=1e-5)
+
+
 def test_pallas_backend_inside_shard_map_traces():
     # Regression: pallas_call out_shapes must declare vma so the kernels
     # trace under shard_map with its default check_vma=True (caught
