@@ -41,10 +41,66 @@ import jax
 import jax.numpy as jnp
 
 from .bands import Bands, default_bands, lattice_masks
-from .helpers import (log_sum_exp, mask_to_additive, shift_left_s,
-                      shift_right_s)
+from .helpers import (extend_labels, log_sum_exp, mask_to_additive,
+                      shift_left_s, shift_right_s)
 from .reference import compute_stats, gradients_from_coefficients
 from ..utils.status import RnntError, Status
+
+
+def _chunk_stats(logits_c, labels, slen, blank_id, axis_name):
+    """(LatticeStats, v_offset) for one chunk's logits.
+
+    With axis_name set, logits_c is this shard's local V slice (vocab
+    tensor parallelism): the global stats come from one local pass plus a
+    pmax/psum pair over the named axis (ops/collective.py).
+    """
+    if axis_name is None:
+        return compute_stats(logits_c, labels, slen, blank_id), 0
+    from .collective import sharded_lattice_stats
+
+    labels_ext = extend_labels(labels, slen, logits_c.shape[2])
+    return sharded_lattice_stats(logits_c.astype(jnp.float32), labels_ext,
+                                 blank_id, axis_name)
+
+
+def _carry_vma(*xs):
+    """Union of the shard_map varying-axes (vma) of all leaves of xs."""
+    out = set()
+    for x in xs:
+        for leaf in jax.tree.leaves(x):
+            out |= set(getattr(jax.typeof(leaf), "vma", frozenset()))
+    return out
+
+
+def _vary_to(x, want_axes):
+    """Promote x to vary over want_axes (scan-carry vma matching).
+
+    Under shard_map, scan carries must type-match their per-step outputs;
+    inits built from fresh constants are axis-invariant while the outputs
+    inherit the mesh axes of the tensors they are computed from. Elementwise
+    ops auto-promote, scan carries do not. No-op outside shard_map.
+    """
+    missing = tuple(sorted(set(want_axes)
+                           - set(getattr(jax.typeof(x), "vma", frozenset()))))
+    if missing:
+        return jax.lax.pcast(x, missing, to="varying")
+    return x
+
+
+def _psum_to_primal(cot, primal):
+    """psum a cotangent over the mesh axes its primal does not vary on.
+
+    A replicated-input's true cotangent is the sum of per-shard
+    contributions, and shard_map's transpose requires the vma types to
+    match: a weight replicated over 'data' gets its gradient psum'd over
+    'data', a vocab-sharded projection's gradient stays per-shard, and the
+    enc/pred cotangents are summed over the model axis whose V-slices they
+    were computed from. No-op outside shard_map.
+    """
+    extra = tuple(sorted(
+        set(getattr(jax.typeof(cot), "vma", frozenset()))
+        - set(getattr(jax.typeof(primal), "vma", frozenset()))))
+    return jax.lax.psum(cot, extra) if extra else cot
 
 
 def _chunk(x: jnp.ndarray, n_chunks: int, chunk_t: int) -> jnp.ndarray:
@@ -71,6 +127,7 @@ def rnnt_loss_fused_joint(
     blank_id: int = 0,
     chunk_t: int = 32,
     bands: Optional[Bands] = None,
+    axis_name: Optional[str] = None,
 ) -> jnp.ndarray:
     """Monotonic RNN-T costs from encoder/predictor outputs, O(B·Tc·S·V) mem.
 
@@ -82,6 +139,11 @@ def rnnt_loss_fused_joint(
       joint_fn: (params, enc_chunk, pred) -> [B, Tc, S+1, V] raw logits.
       joint_params: pytree of joint parameters.
       chunk_t: frames per chunk (static); T is padded to a multiple.
+      axis_name: if set, the vocab axis is sharded over this named mesh axis
+        (call inside shard_map): joint_fn/joint_params produce only this
+        shard's V slice, stats are combined with pmax/psum collectives, and
+        d_enc/d_pred are psum-reduced so every shard returns the full
+        gradient. d_joint_params stay local to the shard's weight slice.
 
     Returns [B] f32 costs, differentiable w.r.t. enc, pred, and joint_params.
     """
@@ -108,7 +170,7 @@ def rnnt_loss_fused_joint(
                        input_lengths.astype(jnp.int32),
                        label_lengths.astype(jnp.int32),
                        joint_params, bands_.min_s, bands_.max_s,
-                       joint_fn, int(blank_id), int(chunk_t))
+                       joint_fn, int(blank_id), int(chunk_t), axis_name)
 
 
 def _prep(enc, ilen, slen, s1, bands, chunk_t):
@@ -125,19 +187,23 @@ def _prep(enc, ilen, slen, s1, bands, chunk_t):
 
 
 def _alphas_and_costs(enc, pred, labels, ilen, slen, joint_params, bands,
-                      joint_fn, blank_id, chunk_t):
+                      joint_fn, blank_id, chunk_t, axis_name):
     batch, t_max, _ = enc.shape
     s1 = pred.shape[1]
     n_chunks, t_pad, amask, _, enc_c = _prep(enc, ilen, slen, s1, bands,
                                              chunk_t)
     s_idx = jnp.arange(s1, dtype=jnp.int32)[None, :]
-    alpha_virt = (jnp.zeros((batch, s1), jnp.float32)
-                  + mask_to_additive(s_idx == 0))
+    # The alpha rows inherit the data-batch mesh axes of the inputs; the
+    # model axis (if any) is collapsed by the psum inside the sharded stats.
+    row_vma = _carry_vma(enc, pred, labels, ilen, slen,
+                         joint_params) - {axis_name}
+    alpha_virt = _vary_to(jnp.zeros((batch, s1), jnp.float32)
+                          + mask_to_additive(s_idx == 0), row_vma)
 
     def alpha_chunk(carry, xs):
         enc_chunk, am_c = xs
-        stats = compute_stats(joint_fn(joint_params, enc_chunk, pred),
-                              labels, slen, blank_id)
+        stats, _ = _chunk_stats(joint_fn(joint_params, enc_chunk, pred),
+                                labels, slen, blank_id, axis_name)
 
         def step(row, ts):
             lpb_t, lpl_t, am_t = ts
@@ -163,27 +229,27 @@ def _alphas_and_costs(enc, pred, labels, ilen, slen, joint_params, bands,
     return alphas, ll_fwd
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10))
+@partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11))
 def _fused_core(enc, pred, labels, ilen, slen, joint_params, band_min,
-                band_max, joint_fn, blank_id, chunk_t):
+                band_max, joint_fn, blank_id, chunk_t, axis_name):
     _, ll_fwd = _alphas_and_costs(enc, pred, labels, ilen, slen,
                                   joint_params, Bands(band_min, band_max),
-                                  joint_fn, blank_id, chunk_t)
+                                  joint_fn, blank_id, chunk_t, axis_name)
     return -ll_fwd
 
 
 def _fused_fwd(enc, pred, labels, ilen, slen, joint_params, band_min,
-               band_max, joint_fn, blank_id, chunk_t):
+               band_max, joint_fn, blank_id, chunk_t, axis_name):
     alphas, ll_fwd = _alphas_and_costs(enc, pred, labels, ilen, slen,
                                        joint_params,
                                        Bands(band_min, band_max), joint_fn,
-                                       blank_id, chunk_t)
+                                       blank_id, chunk_t, axis_name)
     res = (enc, pred, labels, ilen, slen, joint_params, band_min, band_max,
            alphas, ll_fwd)
     return -ll_fwd, res
 
 
-def _fused_bwd(joint_fn, blank_id, chunk_t, res, ct):
+def _fused_bwd(joint_fn, blank_id, chunk_t, axis_name, res, ct):
     """Betas + gradients in ONE reverse chunk scan: each chunk's logits are
     evaluated once (jax.vjp primal) and reused for the beta recurrence and
     the dlogits -> joint-VJP push; the incoming cotangent is folded into the
@@ -218,7 +284,8 @@ def _fused_bwd(joint_fn, blank_id, chunk_t, res, ct):
         logits_c, joint_vjp = jax.vjp(
             lambda params, e_c, p: joint_fn(params, e_c, p),
             joint_params, enc_chunk, pred)
-        stats = compute_stats(logits_c, labels, slen, blank_id)
+        stats, v_offset = _chunk_stats(logits_c, labels, slen, blank_id,
+                                       axis_name)
 
         ts_local = jnp.arange(chunk_t - 1, -1, -1, dtype=jnp.int32)
 
@@ -251,13 +318,21 @@ def _fused_bwd(joint_fn, blank_id, chunk_t, res, ct):
         dlogits = gradients_from_coefficients(
             logits_c, stats.denom, labels, slen, coef(betas_k),
             coef(bnext_k), coef(shift_left_s(bnext_k)),
-            blank_id).astype(logits_c.dtype)
+            blank_id, v_offset=v_offset).astype(logits_c.dtype)
         d_params, d_enc_c, d_pred_c = joint_vjp(dlogits)
         return (beta_row,
                 jax.tree.map(jnp.add, d_pred_acc, d_pred_c),
                 jax.tree.map(jnp.add, d_params_acc, d_params)), d_enc_c
 
-    init = (jnp.full((batch, s1), -jnp.inf, jnp.float32),
+    # Carry vma: beta rows collapse the model axis (psum'd stats) like the
+    # alphas. The gradient accumulators keep each primal's own vma:
+    # jax.vjp under vma-typed shard_map already reduces every cotangent to
+    # its primal's varying axes (the pcast transposes insert the psums), so
+    # zeros_like (which preserves vma) is the correctly-typed init — forcing
+    # a wider type here would make the final reduction double-count.
+    row_vma = _carry_vma(enc, pred, labels, ilen, slen,
+                         joint_params, ct) - {axis_name}
+    init = (_vary_to(jnp.full((batch, s1), -jnp.inf, jnp.float32), row_vma),
             jnp.zeros_like(pred),
             jax.tree.map(jnp.zeros_like, joint_params))
     (_, d_pred, d_params), d_enc_rev = jax.lax.scan(
@@ -265,6 +340,9 @@ def _fused_bwd(joint_fn, blank_id, chunk_t, res, ct):
         (enc_c[::-1], bmask[::-1], t_base, aprev_c[::-1]))
     d_enc = (jnp.moveaxis(d_enc_rev[::-1], 0, 1)
              .reshape(batch, t_pad, -1)[:, :t_max].astype(enc.dtype))
+    d_enc = _psum_to_primal(d_enc, enc)
+    d_pred = _psum_to_primal(d_pred, pred)
+    d_params = jax.tree.map(_psum_to_primal, d_params, joint_params)
     return (d_enc, d_pred, None, None, None, d_params, None, None)
 
 

@@ -27,7 +27,7 @@ The reference has no counterpart: its API receives materialized activations.
 from __future__ import annotations
 
 from functools import partial
-from typing import Callable
+from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
@@ -36,8 +36,22 @@ from ..utils.status import RnntError, Status
 from .banded import band_gradients, band_labels, band_stats
 from .bands import (BandLayout, Bands, band_final_slot, band_lattice_masks,
                     band_virtual_next_rows, compute_band_layout)
+from .chunked import _carry_vma, _psum_to_primal, _vary_to
 from .helpers import (NEG_INF, log_sum_exp, mask_to_additive, shift_left_s,
                       shift_right_s)
+
+
+def _band_chunk_stats(logits_c, lab_k, blank_id, axis_name):
+    """(BandStats, v_offset) for one chunk's packed band logits.
+
+    With axis_name set, logits_c is this shard's local V slice (vocab
+    tensor parallelism; ops/collective.py)."""
+    if axis_name is None:
+        return band_stats(logits_c, lab_k, blank_id), 0
+    from .collective import sharded_band_stats
+
+    return sharded_band_stats(logits_c.astype(jnp.float32), lab_k, blank_id,
+                              axis_name)
 
 
 def _chunk(x: jnp.ndarray, n_chunks: int, chunk_t: int) -> jnp.ndarray:
@@ -86,7 +100,7 @@ def _gather_pred(pred, idx_c):
 
 
 def _alphas_and_costs(enc, pred, labels, ilen, slen, joint_params, bands,
-                      joint_fn, blank_id, chunk_t, width):
+                      joint_fn, blank_id, chunk_t, width, axis_name):
     batch, t_max, _ = enc.shape
     s1 = pred.shape[1]
     P = _prep_banded(enc, ilen, slen, s1, bands, width, chunk_t)
@@ -95,14 +109,16 @@ def _alphas_and_costs(enc, pred, labels, ilen, slen, joint_params, bands,
     lab_c = _chunk(_pad_t(lab_band, P["t_pad"], -1), P["n_chunks"], chunk_t)
 
     w_lane = jnp.arange(w, dtype=jnp.int32)[None, :]
-    alpha_virt = (jnp.zeros((batch, w), jnp.float32)
-                  + mask_to_additive(w_lane == 0))
+    row_vma = _carry_vma(enc, pred, labels, ilen, slen,
+                         joint_params) - {axis_name}
+    alpha_virt = _vary_to(jnp.zeros((batch, w), jnp.float32)
+                          + mask_to_additive(w_lane == 0), row_vma)
 
     def alpha_chunk(carry, xs):
         enc_chunk, lab_k, am_k, d_k, idx_k = xs
         logits_c = joint_fn(joint_params, enc_chunk,
                             _gather_pred(pred, idx_k))
-        stats = band_stats(logits_c, lab_k, blank_id)
+        stats, _ = _band_chunk_stats(logits_c, lab_k, blank_id, axis_name)
         lpbm = stats.lp_blank + am_k
         lplm = stats.lp_label + shift_left_s(am_k)
 
@@ -129,26 +145,30 @@ def _alphas_and_costs(enc, pred, labels, ilen, slen, joint_params, bands,
     return alphas, ll_fwd
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11))
+@partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12))
 def _fused_banded_core(enc, pred, labels, ilen, slen, joint_params, band_min,
-                       band_max, joint_fn, blank_id, chunk_t, width):
+                       band_max, joint_fn, blank_id, chunk_t, width,
+                       axis_name):
     _, ll_fwd = _alphas_and_costs(enc, pred, labels, ilen, slen,
                                   joint_params, Bands(band_min, band_max),
-                                  joint_fn, blank_id, chunk_t, width)
+                                  joint_fn, blank_id, chunk_t, width,
+                                  axis_name)
     return -ll_fwd
 
 
 def _fused_banded_fwd(enc, pred, labels, ilen, slen, joint_params, band_min,
-                      band_max, joint_fn, blank_id, chunk_t, width):
+                      band_max, joint_fn, blank_id, chunk_t, width,
+                      axis_name):
     alphas, ll_fwd = _alphas_and_costs(
         enc, pred, labels, ilen, slen, joint_params,
-        Bands(band_min, band_max), joint_fn, blank_id, chunk_t, width)
+        Bands(band_min, band_max), joint_fn, blank_id, chunk_t, width,
+        axis_name)
     res = (enc, pred, labels, ilen, slen, joint_params, band_min, band_max,
            alphas, ll_fwd)
     return -ll_fwd, res
 
 
-def _fused_banded_bwd(joint_fn, blank_id, chunk_t, width, res, ct):
+def _fused_banded_bwd(joint_fn, blank_id, chunk_t, width, axis_name, res, ct):
     """Betas + gradients in one reverse chunk scan (band coordinates).
 
     Each chunk's band logits are evaluated once (jax.vjp primal) and reused
@@ -189,7 +209,8 @@ def _fused_banded_bwd(joint_fn, blank_id, chunk_t, width, res, ct):
         logits_c, joint_vjp = jax.vjp(
             lambda params, e_c, pb: joint_fn(params, e_c, pb),
             joint_params, enc_chunk, _gather_pred(pred, idx_k))
-        stats = band_stats(logits_c, lab_k, blank_id)
+        stats, v_offset = _band_chunk_stats(logits_c, lab_k, blank_id,
+                                            axis_name)
 
         ts_local = jnp.arange(chunk_t - 1, -1, -1, dtype=jnp.int32)
 
@@ -224,14 +245,20 @@ def _fused_banded_bwd(joint_fn, blank_id, chunk_t, width, res, ct):
 
         dlogits = band_gradients(
             logits_c, stats.denom, lab_k, coef(betas_k), coef(bnext_k),
-            coef(shift_left_s(bnext_k)), blank_id).astype(logits_c.dtype)
+            coef(shift_left_s(bnext_k)), blank_id,
+            v_offset=v_offset).astype(logits_c.dtype)
         d_params, d_enc_c, d_pred_band = joint_vjp(dlogits)
         d_pred_acc = d_pred_acc.at[b_idx, idx_k].add(
             d_pred_band.astype(d_pred_acc.dtype))
         return (beta_row, d_pred_acc,
                 jax.tree.map(jnp.add, d_params_acc, d_params)), d_enc_c
 
-    init = (jnp.full((batch, w), NEG_INF, jnp.float32),
+    # Carry vma as in chunked.py: beta rows collapse the model axis (psum'd
+    # stats); the accumulators keep each primal's own vma (jax.vjp already
+    # reduces every cotangent to its primal's varying axes).
+    row_vma = _carry_vma(enc, pred, labels, ilen, slen,
+                         joint_params, ct) - {axis_name}
+    init = (_vary_to(jnp.full((batch, w), NEG_INF, jnp.float32), row_vma),
             jnp.zeros_like(pred),
             jax.tree.map(jnp.zeros_like, joint_params))
     (_, d_pred, d_params), d_enc_rev = jax.lax.scan(
@@ -240,6 +267,9 @@ def _fused_banded_bwd(joint_fn, blank_id, chunk_t, width, res, ct):
          P["bvirt"][::-1], P["idx"][::-1], t_base, aprev_c[::-1]))
     d_enc = (jnp.moveaxis(d_enc_rev[::-1], 0, 1)
              .reshape(batch, P["t_pad"], -1)[:, :t_max].astype(enc.dtype))
+    d_enc = _psum_to_primal(d_enc, enc)
+    d_pred = _psum_to_primal(d_pred, pred)
+    d_params = jax.tree.map(_psum_to_primal, d_params, joint_params)
     return (d_enc, d_pred, None, None, None, d_params, None, None)
 
 
@@ -259,6 +289,7 @@ def rnnt_loss_fused_joint_banded(
     band_width: int,
     blank_id: int = 0,
     chunk_t: int = 32,
+    axis_name: Optional[str] = None,
 ) -> jnp.ndarray:
     """Alignment-restricted costs from encoder/predictor outputs, O(W) compute.
 
@@ -274,6 +305,8 @@ def rnnt_loss_fused_joint_banded(
       band_width: static packed window width W (size with
         bands.required_band_width, round up to a multiple of 8).
       chunk_t: frames per streamed chunk (static).
+      axis_name: if set, the vocab axis is sharded over this named mesh axis
+        (call inside shard_map; see rnnt_loss_fused_joint's axis_name).
 
     Returns [B] f32 costs, differentiable w.r.t. enc, pred, joint_params.
     """
@@ -303,4 +336,4 @@ def rnnt_loss_fused_joint_banded(
                               label_lengths.astype(jnp.int32),
                               joint_params, bands.min_s, bands.max_s,
                               joint_fn, int(blank_id), int(chunk_t),
-                              int(band_width))
+                              int(band_width), axis_name)

@@ -24,77 +24,15 @@ import jax.numpy as jnp
 from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
-from ..ops.banded import (BandStats, band_forward_backward, band_gradients,
-                          band_labels, band_occupancy_coefficients)
+from ..ops.banded import (band_forward_backward, band_gradients, band_labels,
+                          band_occupancy_coefficients)
 from ..ops.bands import (Bands, band_lattice_masks, compute_band_layout,
                          default_bands, lattice_masks)
-from ..ops.helpers import NEG_INF, extend_labels
-from ..ops.reference import (LatticeStats, forward_backward,
-                             gradients_from_coefficients,
+from ..ops.collective import sharded_band_stats, sharded_lattice_stats
+from ..ops.helpers import extend_labels
+from ..ops.reference import (forward_backward, gradients_from_coefficients,
                              occupancy_coefficients)
 from .mesh import DATA_AXIS, MODEL_AXIS
-
-
-
-
-def _local_max_sumexp(x_local):
-    """Pre-reduction (m, sum-exp) per lattice cell over the local V slice.
-
-    On TPU the fused Pallas kernel does this in ONE read of the shard (the
-    XLA formulation below needs a max pass and a sum pass). Two gates:
-    the actual device platform (interpret mode cannot execute inside
-    shard_map and a compiled Pallas call can't run on CPU, so non-TPU hosts
-    keep the XLA path regardless of MRNNT_BACKEND), AND the resolved config
-    backend (MRNNT_BACKEND=reference must bypass the kernel on hardware too
-    — that is the whole point of the debug backend).
-    """
-    from ..ops.loss import _resolve_backend
-
-    if (jax.default_backend() == "tpu"
-            and _resolve_backend(None) == "pallas"
-            and not jax.config.jax_disable_jit):
-        from ..ops.pallas.kernels import softmax_stats_partial
-
-        return softmax_stats_partial(x_local)
-    m = jnp.max(x_local, axis=-1)
-    se = jnp.sum(jnp.exp(x_local - m[..., None]), axis=-1)
-    return m, se
-
-
-def _sharded_stats(x_local, labels_ext, blank_id, axis_name):
-    """Global softmax stats from a local vocab slice (one pass + collectives)."""
-    v_local = x_local.shape[-1]
-    shard = jax.lax.axis_index(axis_name)
-    v_offset = shard * v_local
-
-    m_loc, se_loc = _local_max_sumexp(x_local)
-    m = jax.lax.pmax(m_loc, axis_name)                          # [B,T,S1]
-    se = jax.lax.psum(se_loc * jnp.exp(m_loc - m), axis_name)
-    denom = -(m + jnp.log(se))
-
-    def pick(col_global):
-        """x[..., col] for a global column living on whichever shard owns it."""
-        rel = col_global - v_offset                             # [...]
-        in_shard = (rel >= 0) & (rel < v_local)
-        safe = jnp.clip(rel, 0, v_local - 1)
-        return in_shard, safe
-
-    in_b, safe_b = pick(jnp.asarray(blank_id))
-    xb = jnp.where(in_b, jnp.take(x_local, safe_b, axis=-1), 0.0)
-    lp_blank = jax.lax.psum(xb, axis_name) + denom
-
-    # labels_ext: [B, S1] global ids (-1 padding never matches any shard).
-    rel = labels_ext - v_offset
-    in_shard = (rel >= 0) & (rel < v_local)
-    safe = jnp.clip(rel, 0, v_local - 1)
-    gathered = jnp.take_along_axis(x_local, safe[:, None, :, None],
-                                   axis=-1)[..., 0]
-    xl = jax.lax.psum(jnp.where(in_shard[:, None, :], gathered, 0.0),
-                      axis_name)
-    valid = in_shard  # true on exactly one shard for real labels
-    any_valid = jax.lax.psum(valid.astype(jnp.int32), axis_name) > 0
-    lp_label = jnp.where(any_valid[:, None, :], xl + denom, NEG_INF)
-    return denom, lp_blank, lp_label, v_offset
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(6, 7))
@@ -115,10 +53,9 @@ def _vocab_sharded_impl(logits_local, labels, input_lengths, label_lengths,
     slen = label_lengths.astype(jnp.int32)
     labels_ext = extend_labels(labels, slen, s1)
 
-    denom, lp_blank, lp_label, v_offset = _sharded_stats(
-        x, labels_ext, blank_id, axis_name)
+    stats, v_offset = sharded_lattice_stats(x, labels_ext, blank_id,
+                                            axis_name)
     masks = lattice_masks(ilen, slen, bands, t_max, s1)
-    stats = LatticeStats(denom=denom, lp_blank=lp_blank, lp_label=lp_label)
     alphas, betas, ll_fwd, _ = forward_backward(stats, masks, ilen, slen,
                                                 compute_betas=with_grads)
     costs = -ll_fwd
@@ -126,7 +63,8 @@ def _vocab_sharded_impl(logits_local, labels, input_lengths, label_lengths,
         return costs, None
     occ, cb, cl = occupancy_coefficients(alphas, betas, ll_fwd, ilen, slen)
     grads_local = gradients_from_coefficients(
-        x, denom, labels, slen, occ, cb, cl, blank_id, v_offset=v_offset)
+        x, stats.denom, labels, slen, occ, cb, cl, blank_id,
+        v_offset=v_offset)
     return costs, grads_local
 
 
@@ -152,45 +90,6 @@ rnnt_loss_vocab_sharded.defvjp(_vs_fwd, _vs_bwd)
 # ---------------------------------------------------------------------------
 
 
-def _sharded_band_stats(x_local, lab_band, blank_id, axis_name):
-    """Global BandStats from a local vocab slice of the packed band layout.
-
-    Same collective recipe as _sharded_stats, re-indexed to [B, T, W]: one
-    local pass for (max, sum-exp), a pmax/psum pair for the denominator, and
-    cross-shard picks for the blank/label columns.
-    """
-    v_local = x_local.shape[-1]
-    shard = jax.lax.axis_index(axis_name)
-    v_offset = shard * v_local
-
-    m_loc, se_loc = _local_max_sumexp(x_local)                  # [B,T,W]
-    m = jax.lax.pmax(m_loc, axis_name)
-    se = jax.lax.psum(se_loc * jnp.exp(m_loc - m), axis_name)
-    denom = -(m + jnp.log(se))
-
-    rel_b = jnp.asarray(blank_id) - v_offset
-    in_b = (rel_b >= 0) & (rel_b < v_local)
-    xb = jnp.where(in_b,
-                   jnp.take(x_local, jnp.clip(rel_b, 0, v_local - 1), axis=-1),
-                   0.0)
-    lp_blank = jax.lax.psum(xb, axis_name) + denom
-
-    # Label column per packed slot. lab_band varies over [B, T, W], so a
-    # take_along_axis here would be a serialized multi-dim gather on TPU
-    # (see band_labels); a compare-select-reduce over the local slice
-    # vectorizes and fuses. The -1 sentinel is owned by no shard.
-    rel = lab_band - v_offset                                   # [B,T,W]
-    owned = (rel >= 0) & (rel < v_local)
-    v_iota = jnp.arange(v_local, dtype=jnp.int32)
-    xl_loc = jnp.sum(jnp.where(rel[..., None] == v_iota, x_local, 0.0),
-                     axis=-1)
-    xl = jax.lax.psum(jnp.where(owned, xl_loc, 0.0), axis_name)
-    any_owned = jax.lax.psum(owned.astype(jnp.int32), axis_name) > 0
-    lp_label = jnp.where(any_owned, xl + denom, NEG_INF)
-    return BandStats(denom=denom, lp_blank=lp_blank,
-                     lp_label=lp_label), v_offset
-
-
 def _banded_vocab_sharded_impl(logits_band_local, labels, input_lengths,
                                label_lengths, bands, blank_id, axis_name,
                                with_grads):
@@ -204,7 +103,7 @@ def _banded_vocab_sharded_impl(logits_band_local, labels, input_lengths,
     masks = band_lattice_masks(ilen, slen, bands, layout, t_max, s1)
     lab_band = band_labels(labels, slen, layout, s1)
 
-    stats, v_offset = _sharded_band_stats(x, lab_band, blank_id, axis_name)
+    stats, v_offset = sharded_band_stats(x, lab_band, blank_id, axis_name)
     alphas, betas, ll = band_forward_backward(
         stats, masks, layout, ilen, slen, compute_betas=with_grads)
     costs = -ll
@@ -273,6 +172,107 @@ def make_dp_tp_banded_loss(mesh: Mesh, *, blank_id: int = 0,
         costs = rnnt_loss_banded_vocab_sharded(
             logits_band, labels, input_lengths, label_lengths, band_min,
             band_max, blank_id, MODEL_AXIS)
+        total = jax.lax.psum(jnp.sum(costs), DATA_AXIS)
+        if mean_over_batch:
+            n = jax.lax.psum(jnp.asarray(costs.shape[0], jnp.float32),
+                             DATA_AXIS)
+            return total / n
+        return total
+
+    return jax.jit(_fn)
+
+
+def make_dp_tp_fused_loss(mesh: Mesh, joint_fn, params_specs, *,
+                          blank_id: int = 0, chunk_t: int = 32,
+                          mean_over_batch: bool = True,
+                          with_bands: bool = False):
+    """Jitted memory-efficient fused-joint loss: batch on 'data', V on 'model'.
+
+    The production configuration for large vocabularies: the joint network's
+    output projection is sharded over the model axis, each shard computes
+    only its [B, Tc, S1, V/n_model] logits slice chunk by chunk, and the
+    loss combines softmax statistics with pmax/psum collectives — the
+    monolithic [B, T, S1, V] tensor never exists on any chip.
+
+    Args:
+      joint_fn: (params_local, enc_chunk, pred) -> local V-slice logits.
+      params_specs: pytree of PartitionSpec matching joint_params; leaves
+        producing the vocab axis must be sharded on MODEL_AXIS (e.g. the
+        output projection's last axis), the rest replicated.
+      with_bands: if True the returned fn takes trailing (band_min, band_max)
+        [B, T] arrays restricting the lattice (bands_from_alignment).
+
+    Returns fn(enc [B,T,De], pred [B,S1,Dp], labels, input_lengths,
+    label_lengths, joint_params[, band_min, band_max]) -> scalar loss,
+    differentiable w.r.t. enc, pred, and joint_params (parameter gradients
+    come back in the same sharded layout as params_specs).
+    """
+    from ..ops.chunked import rnnt_loss_fused_joint
+
+    dspec3 = P(DATA_AXIS, None, None)
+    base_specs = (dspec3, dspec3, P(DATA_AXIS, None), P(DATA_AXIS),
+                  P(DATA_AXIS), params_specs)
+    band_specs = (P(DATA_AXIS, None), P(DATA_AXIS, None))
+
+    def _body(enc, pred, labels, ilen, slen, params, bands):
+        costs = rnnt_loss_fused_joint(
+            enc, pred, labels, ilen, slen, joint_fn, params,
+            blank_id=blank_id, chunk_t=chunk_t, bands=bands,
+            axis_name=MODEL_AXIS)
+        total = jax.lax.psum(jnp.sum(costs), DATA_AXIS)
+        if mean_over_batch:
+            n = jax.lax.psum(jnp.asarray(costs.shape[0], jnp.float32),
+                             DATA_AXIS)
+            return total / n
+        return total
+
+    if with_bands:
+        @partial(shard_map, mesh=mesh, in_specs=base_specs + band_specs,
+                 out_specs=P())
+        def _fn(enc, pred, labels, ilen, slen, params, band_min, band_max):
+            return _body(enc, pred, labels, ilen, slen, params,
+                         Bands(band_min, band_max))
+    else:
+        @partial(shard_map, mesh=mesh, in_specs=base_specs, out_specs=P())
+        def _fn(enc, pred, labels, ilen, slen, params):
+            return _body(enc, pred, labels, ilen, slen, params, None)
+
+    return jax.jit(_fn)
+
+
+def make_dp_tp_fused_banded_loss(mesh: Mesh, joint_fn, params_specs, *,
+                                 band_width: int, blank_id: int = 0,
+                                 chunk_t: int = 32,
+                                 mean_over_batch: bool = True):
+    """Jitted O(W) fused-joint loss: batch on 'data', vocab on 'model'.
+
+    The full composition for alignment-restricted long utterances with
+    large vocabularies: the joint network is evaluated only on band cells
+    (ops/chunked_banded.py), streamed in T-chunks, with its output
+    projection sharded over the model axis — per-chip work is
+    O(B/n_data · T · W · V/n_model) and the [B, T, W, V] band tensor never
+    exists on any chip.
+
+    joint_fn follows the banded contract: (params_local, enc_chunk
+    [B,Tc,De], pred_band [B,Tc,W,Dp]) -> [B, Tc, W, V_local] logits.
+
+    Returns fn(enc, pred, labels, input_lengths, label_lengths,
+    joint_params, band_min [B,T], band_max [B,T]) -> scalar loss.
+    """
+    from ..ops.chunked_banded import rnnt_loss_fused_joint_banded
+
+    dspec3 = P(DATA_AXIS, None, None)
+
+    @partial(shard_map, mesh=mesh,
+             in_specs=(dspec3, dspec3, P(DATA_AXIS, None), P(DATA_AXIS),
+                       P(DATA_AXIS), params_specs, P(DATA_AXIS, None),
+                       P(DATA_AXIS, None)),
+             out_specs=P())
+    def _fn(enc, pred, labels, ilen, slen, params, band_min, band_max):
+        costs = rnnt_loss_fused_joint_banded(
+            enc, pred, labels, ilen, slen, joint_fn, params,
+            bands=Bands(band_min, band_max), band_width=band_width,
+            blank_id=blank_id, chunk_t=chunk_t, axis_name=MODEL_AXIS)
         total = jax.lax.psum(jnp.sum(costs), DATA_AXIS)
         if mean_over_batch:
             n = jax.lax.psum(jnp.asarray(costs.shape[0], jnp.float32),

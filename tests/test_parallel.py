@@ -157,6 +157,153 @@ def test_dp_tp_banded_blank_on_nonzero_shard():
     np.testing.assert_allclose(got, float(jnp.sum(ref_costs)), rtol=1e-5)
 
 
+def _tp_joint_fn(params, enc_c, pred):
+    e = enc_c.astype(jnp.float32) @ params["we"]
+    p = pred.astype(jnp.float32) @ params["wp"]
+    h = jnp.tanh(e[:, :, None, :] + p[:, None, :, :])
+    return h @ params["wv"] + params["bv"]
+
+
+def _fused_tp_setup(seed=11, batch=4, t=10, s=3, v=16, de=6, dp_=5, j=8):
+    rng = np.random.RandomState(seed)
+    enc = jnp.asarray(rng.randn(batch, t, de).astype(np.float32))
+    pred = jnp.asarray(rng.randn(batch, s + 1, dp_).astype(np.float32))
+    labels = jnp.asarray(rng.randint(1, v, size=(batch, s)).astype(np.int32))
+    ilen = jnp.asarray(rng.randint(s + 1, t + 1, (batch,)).astype(np.int32))
+    slen = jnp.asarray(rng.randint(1, s + 1, (batch,)).astype(np.int32))
+    params = {
+        "we": jnp.asarray(rng.randn(de, j).astype(np.float32) * 0.5),
+        "wp": jnp.asarray(rng.randn(dp_, j).astype(np.float32) * 0.5),
+        "wv": jnp.asarray(rng.randn(j, v).astype(np.float32) * 0.5),
+        "bv": jnp.asarray(rng.randn(v).astype(np.float32) * 0.1),
+    }
+    return enc, pred, labels, ilen, slen, params
+
+
+def test_dp_tp_fused_joint_matches_monolithic():
+    """Vocab-sharded fused-joint loss == monolithic oracle (loss + all grads).
+
+    The joint output projection (wv, bv) is sharded over 'model'; the
+    [B,T,S1,V] logits tensor never exists on any shard.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    from monotonic_rnnt_tpu import monotonic_rnnt_loss
+    from monotonic_rnnt_tpu.parallel import MODEL_AXIS, make_dp_tp_fused_loss
+
+    enc, pred, labels, ilen, slen, params = _fused_tp_setup()
+    params_specs = {"we": P(), "wp": P(), "wv": P(None, MODEL_AXIS),
+                    "bv": P(MODEL_AXIS)}
+    mesh = make_mesh(data=2, model=4)
+    loss_fn = make_dp_tp_fused_loss(mesh, _tp_joint_fn, params_specs,
+                                    chunk_t=4, mean_over_batch=False)
+    v_tp, g_tp = jax.value_and_grad(
+        lambda e_, p_, pr: loss_fn(e_, p_, labels, ilen, slen, pr),
+        argnums=(0, 1, 2))(enc, pred, params)
+
+    def mono(e_, p_, pr):
+        logits = _tp_joint_fn(pr, e_, p_)
+        return jnp.sum(monotonic_rnnt_loss(logits, labels, ilen, slen,
+                                           backend="reference"))
+
+    v_m, g_m = jax.jit(jax.value_and_grad(mono, argnums=(0, 1, 2)))(
+        enc, pred, params)
+    np.testing.assert_allclose(float(v_tp), float(v_m), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(g_tp), jax.tree.leaves(g_m)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4,
+                                   atol=1e-5)
+
+
+def test_dp_tp_fused_joint_banded():
+    """with_bands=True restricts the sharded fused loss like the oracle."""
+    from jax.sharding import PartitionSpec as P
+
+    from monotonic_rnnt_tpu import monotonic_rnnt_loss
+    from monotonic_rnnt_tpu.ops.bands import bands_from_alignment
+    from monotonic_rnnt_tpu.parallel import MODEL_AXIS, make_dp_tp_fused_loss
+
+    enc, pred, labels, ilen, slen, params = _fused_tp_setup(seed=12)
+    batch, t = enc.shape[:2]
+    rng = np.random.RandomState(13)
+    align = np.zeros((batch, t), np.int32)
+    for b in range(batch):
+        pos = np.sort(rng.choice(int(ilen[b]), size=int(slen[b]),
+                                 replace=False))
+        align[b, pos] = np.asarray(labels)[b, :int(slen[b])]
+    bands = bands_from_alignment(jnp.asarray(align), ilen, slen, 1, 0)
+
+    params_specs = {"we": P(), "wp": P(), "wv": P(None, MODEL_AXIS),
+                    "bv": P(MODEL_AXIS)}
+    mesh = make_mesh(data=2, model=2)
+    loss_fn = make_dp_tp_fused_loss(mesh, _tp_joint_fn, params_specs,
+                                    chunk_t=5, mean_over_batch=False,
+                                    with_bands=True)
+    got = float(loss_fn(enc, pred, labels, ilen, slen, params,
+                        bands.min_s, bands.max_s))
+    logits = _tp_joint_fn(params, enc, pred)
+    ref = jnp.sum(monotonic_rnnt_loss(logits, labels, ilen, slen,
+                                      bands=bands, backend="reference"))
+    np.testing.assert_allclose(got, float(ref), rtol=1e-5)
+
+
+def test_dp_tp_fused_banded_matches_monolithic():
+    """Packed-band fused TP loss (O(W) compute, V sharded) == oracle.
+
+    The full composition: joint evaluated on band cells only, streamed in
+    T-chunks, output projection sharded over 'model', batch over 'data'.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    from monotonic_rnnt_tpu import monotonic_rnnt_loss
+    from monotonic_rnnt_tpu.ops.bands import (bands_from_alignment,
+                                              required_band_width)
+    from monotonic_rnnt_tpu.parallel import (MODEL_AXIS,
+                                             make_dp_tp_fused_banded_loss)
+
+    enc, pred, labels, ilen, slen, params = _fused_tp_setup(seed=21)
+    batch, t = enc.shape[:2]
+    s1 = pred.shape[1]
+    rng = np.random.RandomState(22)
+    align = np.zeros((batch, t), np.int32)
+    for b in range(batch):
+        pos = np.sort(rng.choice(int(ilen[b]), size=int(slen[b]),
+                                 replace=False))
+        align[b, pos] = np.asarray(labels)[b, :int(slen[b])]
+    bands = bands_from_alignment(jnp.asarray(align), ilen, slen, 1, 0)
+    width = int(required_band_width(ilen, slen, bands, t, s1))
+
+    def banded_joint(p, enc_c, pred_band):
+        e = enc_c.astype(jnp.float32) @ p["we"]
+        pb = pred_band.astype(jnp.float32) @ p["wp"]     # [B, Tc, W, J]
+        h = jnp.tanh(e[:, :, None, :] + pb)
+        return h @ p["wv"] + p["bv"]
+
+    params_specs = {"we": P(), "wp": P(), "wv": P(None, MODEL_AXIS),
+                    "bv": P(MODEL_AXIS)}
+    mesh = make_mesh(data=2, model=2)
+    loss_fn = make_dp_tp_fused_banded_loss(
+        mesh, banded_joint, params_specs, band_width=width, chunk_t=5,
+        mean_over_batch=False)
+
+    v_tp, g_tp = jax.value_and_grad(
+        lambda e_, p_, pr: loss_fn(e_, p_, labels, ilen, slen, pr,
+                                   bands.min_s, bands.max_s),
+        argnums=(0, 1, 2))(enc, pred, params)
+
+    def mono(e_, p_, pr):
+        logits = _tp_joint_fn(pr, e_, p_)
+        return jnp.sum(monotonic_rnnt_loss(logits, labels, ilen, slen,
+                                           bands=bands,
+                                           backend="reference"))
+
+    v_m, g_m = jax.jit(jax.value_and_grad(mono, argnums=(0, 1, 2)))(
+        enc, pred, params)
+    np.testing.assert_allclose(float(v_tp), float(v_m), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(g_tp), jax.tree.leaves(g_m)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4,
+                                   atol=1e-5)
+
+
 def test_pallas_backend_inside_shard_map_traces():
     # Regression: pallas_call out_shapes must declare vma so the kernels
     # trace under shard_map with its default check_vma=True (caught
