@@ -6,7 +6,8 @@ Public surface:
   TransducerConfig / MonotonicTransducer — encoder + predictor + joint + loss,
       with greedy_decode and beam_search_decode (merge_paths option)
   train: create_train_state, train_step, make_sharded_train_step,
-      save_checkpoint, restore_checkpoint
+      make_tp_sharded_train_step / shard_train_state / transducer_tp_specs
+      (vocab-TP fused-joint training), save_checkpoint, restore_checkpoint
 """
 
 from .conformer import ConformerConfig, ConformerEncoder

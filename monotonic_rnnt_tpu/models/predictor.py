@@ -66,6 +66,11 @@ class LstmPredictor(nn.Module):
                        in_axes=1, out_axes=1)
         carry = self.cell.initialize_carry(jax.random.PRNGKey(0),
                                            emb[:, 0].shape)
+        # Inside shard_map the scan carry must vary over the same mesh axes
+        # as its per-step outputs (which inherit emb's); the zero init is
+        # axis-invariant until promoted. No-op outside shard_map.
+        from ..utils.vma import vary_like
+        carry = vary_like(carry, emb)
         _, y = scan(self.cell, carry, emb)
         return self.out(y).astype(jnp.float32)
 

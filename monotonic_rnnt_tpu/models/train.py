@@ -16,7 +16,7 @@ import optax
 from flax.training import train_state
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..parallel.mesh import DATA_AXIS
+from ..parallel.mesh import DATA_AXIS, MODEL_AXIS
 from .transducer import MonotonicTransducer, TransducerConfig
 
 
@@ -157,6 +157,130 @@ def make_banded_memory_efficient_loss(model: MonotonicTransducer,
         return jnp.mean(costs)
 
     return loss_fn
+
+
+def transducer_tp_specs(tree):
+    """PartitionSpec tree for vocab tensor parallelism of the transducer.
+
+    Everything is replicated except the joint's vocab projection, whose
+    output (vocab) axis is sharded over MODEL_AXIS. The rule matches by path
+    suffix, so it applies to the params tree AND to optimizer-state trees
+    whose leaves mirror the params tree (e.g. adam's mu/nu).
+    """
+    def _spec(path, leaf):
+        names = [getattr(p, "key", getattr(p, "name", None)) for p in path]
+        if "vocab_proj" in names:
+            if names[-1] == "kernel" and leaf.ndim >= 2:
+                return P(*([None] * (leaf.ndim - 1)), MODEL_AXIS)
+            if names[-1] == "bias" and leaf.ndim == 1:
+                return P(MODEL_AXIS)
+        return P()
+
+    return jax.tree_util.tree_map_with_path(_spec, tree)
+
+
+def shard_train_state(state: TrainState, mesh: Mesh) -> TrainState:
+    """Place a TrainState for the vocab-TP train step.
+
+    Params and optimizer state move to NamedShardings from
+    transducer_tp_specs (vocab projection + its adam moments sharded over
+    MODEL_AXIS, the rest replicated over the whole mesh).
+    """
+    def put(tree):
+        return jax.tree.map(
+            lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+            tree, transducer_tp_specs(tree))
+
+    return state.replace(
+        params=put(state.params), opt_state=put(state.opt_state),
+        dropout_rng=jax.device_put(state.dropout_rng,
+                                   NamedSharding(mesh, P())))
+
+
+def make_tp_sharded_train_step(mesh: Mesh, model: MonotonicTransducer,
+                               params, chunk_t: int = 32,
+                               deterministic: bool = False):
+    """Train step with batch on 'data' AND the vocab axis on 'model'.
+
+    The production configuration for large vocabularies: the joint's output
+    projection lives sharded (transducer_tp_specs), each shard evaluates only
+    its V-slice of the joint chunk by chunk through the memory-efficient
+    fused loss (ops/chunked.py, axis_name='model'), and the [B, T, S+1, V]
+    logits tensor never exists on any chip. The optimizer update runs under
+    jit/GSPMD on the sharded grads, so adam moments for the vocab projection
+    stay sharded too.
+
+    Call shard_train_state(state, mesh) once before stepping. `params` is an
+    example params tree (spec inference only). Dropout (deterministic=False)
+    folds the data-axis index into the step rng so masks differ per data
+    shard but agree across the model axis.
+
+    Returns step(state, batch) -> (state, metrics), jitted.
+    """
+    import dataclasses as _dc
+    from functools import partial as _partial
+
+    from jax import shard_map
+
+    from ..ops.chunked import rnnt_loss_fused_joint
+    from .transducer import Joint
+
+    n_model = mesh.shape[MODEL_AXIS]
+    vocab = model.cfg.vocab_size
+    if vocab % n_model:
+        raise ValueError(f"vocab_size {vocab} not divisible by model axis "
+                         f"{n_model}")
+    joint_local = Joint(_dc.replace(model.cfg, vocab_size=vocab // n_model))
+    pspecs = transducer_tp_specs(params)
+    dspecs = (P(DATA_AXIS, None, None), P(DATA_AXIS), P(DATA_AXIS, None),
+              P(DATA_AXIS))
+
+    def _encode(m, feats, flen, det):
+        return m.encode(feats, flen, det)
+
+    def _predict(m, labels, det):
+        return m.predictor(labels, det)
+
+    @_partial(shard_map, mesh=mesh, in_specs=(pspecs, dspecs, P()),
+              out_specs=(P(), pspecs))
+    def loss_and_grads(p, batch, rng):
+        feats, feat_lengths, labels, label_lengths = batch
+        rngs = None
+        if not deterministic:
+            rngs = {"dropout": jax.random.fold_in(
+                rng, jax.lax.axis_index(DATA_AXIS))}
+
+        def loss_fn(p):
+            enc, enc_lengths = model.apply({"params": p}, feats,
+                                           feat_lengths, deterministic,
+                                           method=_encode, rngs=rngs)
+            pred = model.apply({"params": p}, labels, deterministic,
+                               method=_predict, rngs=rngs)
+
+            def joint_fn(jp, e_c, pr):
+                return joint_local.apply({"params": jp}, e_c, pr)
+
+            costs = rnnt_loss_fused_joint(
+                enc, pred, labels, enc_lengths,
+                label_lengths.astype(jnp.int32), joint_fn, p["joint"],
+                blank_id=model.cfg.blank_id, chunk_t=chunk_t,
+                axis_name=MODEL_AXIS)
+            total = jax.lax.psum(jnp.sum(costs), DATA_AXIS)
+            n = jax.lax.psum(jnp.asarray(costs.shape[0], jnp.float32),
+                             DATA_AXIS)
+            return total / n
+
+        return jax.value_and_grad(loss_fn)(p)
+
+    def step(state: TrainState, batch):
+        rng = jax.random.fold_in(state.dropout_rng, state.step)
+        loss, grads = loss_and_grads(state.params, batch, rng)
+        new_state = state.apply_gradients(grads=grads)
+        metrics = {"loss": loss, "grad_norm": optax.global_norm(grads),
+                   "step": state.step}
+        return new_state, metrics
+
+    return jax.jit(step, donate_argnums=(0,))
 
 
 def make_sharded_train_step(mesh: Mesh):

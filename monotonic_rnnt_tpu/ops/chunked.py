@@ -45,6 +45,8 @@ from .helpers import (extend_labels, log_sum_exp, mask_to_additive,
                       shift_left_s, shift_right_s)
 from .reference import compute_stats, gradients_from_coefficients
 from ..utils.status import RnntError, Status
+from ..utils.vma import (psum_to_primal as _psum_to_primal,
+                         tree_vma as _carry_vma, vary_to as _vary_to)
 
 
 def _chunk_stats(logits_c, labels, slen, blank_id, axis_name):
@@ -61,46 +63,6 @@ def _chunk_stats(logits_c, labels, slen, blank_id, axis_name):
     labels_ext = extend_labels(labels, slen, logits_c.shape[2])
     return sharded_lattice_stats(logits_c.astype(jnp.float32), labels_ext,
                                  blank_id, axis_name)
-
-
-def _carry_vma(*xs):
-    """Union of the shard_map varying-axes (vma) of all leaves of xs."""
-    out = set()
-    for x in xs:
-        for leaf in jax.tree.leaves(x):
-            out |= set(getattr(jax.typeof(leaf), "vma", frozenset()))
-    return out
-
-
-def _vary_to(x, want_axes):
-    """Promote x to vary over want_axes (scan-carry vma matching).
-
-    Under shard_map, scan carries must type-match their per-step outputs;
-    inits built from fresh constants are axis-invariant while the outputs
-    inherit the mesh axes of the tensors they are computed from. Elementwise
-    ops auto-promote, scan carries do not. No-op outside shard_map.
-    """
-    missing = tuple(sorted(set(want_axes)
-                           - set(getattr(jax.typeof(x), "vma", frozenset()))))
-    if missing:
-        return jax.lax.pcast(x, missing, to="varying")
-    return x
-
-
-def _psum_to_primal(cot, primal):
-    """psum a cotangent over the mesh axes its primal does not vary on.
-
-    A replicated-input's true cotangent is the sum of per-shard
-    contributions, and shard_map's transpose requires the vma types to
-    match: a weight replicated over 'data' gets its gradient psum'd over
-    'data', a vocab-sharded projection's gradient stays per-shard, and the
-    enc/pred cotangents are summed over the model axis whose V-slices they
-    were computed from. No-op outside shard_map.
-    """
-    extra = tuple(sorted(
-        set(getattr(jax.typeof(cot), "vma", frozenset()))
-        - set(getattr(jax.typeof(primal), "vma", frozenset()))))
-    return jax.lax.psum(cot, extra) if extra else cot
 
 
 def _chunk(x: jnp.ndarray, n_chunks: int, chunk_t: int) -> jnp.ndarray:

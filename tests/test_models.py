@@ -62,6 +62,52 @@ def test_sharded_train_step():
     assert np.isfinite(float(metrics["loss"]))
 
 
+def test_tp_sharded_train_step_matches_dp():
+    """Vocab-TP train step == DP train step: same loss, same updated params.
+
+    The TP step never materializes the [B,T,S+1,V] logits (fused-joint loss
+    with the vocab projection sharded over 'model'); one adamw update from
+    identical initial states must land on identical parameters.
+    """
+    from monotonic_rnnt_tpu.models.train import (make_tp_sharded_train_step,
+                                                 shard_train_state,
+                                                 transducer_tp_specs)
+
+    cfg = _tiny_cfg()
+    model = MonotonicTransducer(cfg)
+    batch = tuple(jnp.asarray(a) for a in tiny_batch(
+        batch=8, t=32, feat_dim=16, s=4, vocab=32))
+
+    state_dp = create_train_state(cfg, jax.random.PRNGKey(0), batch,
+                                  learning_rate=3e-3, warmup_steps=1)
+    state_tp = create_train_state(cfg, jax.random.PRNGKey(0), batch,
+                                  learning_rate=3e-3, warmup_steps=1)
+
+    mesh_dp = make_mesh(data=8, model=1)
+    step_dp = make_sharded_train_step(mesh_dp)
+    state_dp, m_dp = step_dp(state_dp, batch)
+
+    mesh_tp = make_mesh(data=2, model=4)
+    step_tp = make_tp_sharded_train_step(mesh_tp, model, state_tp.params,
+                                         chunk_t=8)
+    state_tp = shard_train_state(state_tp, mesh_tp)
+    state_tp, m_tp = step_tp(state_tp, batch)
+
+    np.testing.assert_allclose(float(m_tp["loss"]), float(m_dp["loss"]),
+                               rtol=1e-5)
+    # The vocab projection's update must match once gathered off the mesh.
+    for a, b in zip(jax.tree.leaves(jax.device_get(state_tp.params)),
+                    jax.tree.leaves(jax.device_get(state_dp.params))):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4,
+                                   atol=2e-5)
+    # Sharding spec rule: exactly kernel+bias of vocab_proj (and their adam
+    # moments) are model-sharded.
+    specs = jax.tree.leaves(transducer_tp_specs(state_tp.opt_state),
+                            is_leaf=lambda x: isinstance(x, jax.sharding.PartitionSpec))
+    n_sharded = sum(1 for s in specs if any(ax == "model" for ax in s))
+    assert n_sharded == 4, f"expected 4 model-sharded opt leaves, {n_sharded}"
+
+
 def test_greedy_decode_shapes():
     cfg = _tiny_cfg()
     model = MonotonicTransducer(cfg)
