@@ -37,7 +37,7 @@ assert len(jax.devices()) == 2 * num_procs, jax.devices()
 
 from jax.sharding import NamedSharding, PartitionSpec as P  # noqa: E402
 
-GB, T, S, V = 8, 12, 4, 9
+GB, T, S, V = 8, 12, 4, 10
 mesh = make_mesh(data=len(jax.devices()))
 start, size = local_batch_slice(GB, mesh)
 assert size == GB // num_procs, (start, size)
@@ -60,5 +60,28 @@ loss_fn = make_data_parallel_loss(mesh, backend="reference")
 loss = loss_fn(_global(logits, P("data")), _global(labels, P("data")),
                _global(ilen, P("data")), _global(slen, P("data")))
 val = float(jax.device_get(loss))
+
+# DP x TP over process boundaries: 2x2 mesh puts both model shards of a
+# data row on one process, so the vocab psum/pmax collectives cross device
+# (not process) links here, while the data-mean psum crosses processes —
+# the same topology split a 2-host TPU pod would use.
+from monotonic_rnnt_tpu.parallel import make_dp_tp_loss  # noqa: E402
+
+mesh2 = make_mesh(data=len(jax.devices()) // 2, model=2)
+start2, size2 = local_batch_slice(GB, mesh2)
+
+
+def _global2(x, spec):
+    sharding = NamedSharding(mesh2, spec)
+    return jax.make_array_from_process_local_data(
+        sharding, x[start2:start2 + size2])
+
+
+tp_fn = make_dp_tp_loss(mesh2)
+tp_loss = tp_fn(_global2(logits, P("data", None, None, "model")),
+                _global2(labels, P("data")), _global2(ilen, P("data")),
+                _global2(slen, P("data")))
+tp_val = float(jax.device_get(tp_loss))
 if proc_id == 0:
     print(f"DP_LOSS={val:.6f}", flush=True)
+    print(f"TP_LOSS={tp_val:.6f}", flush=True)

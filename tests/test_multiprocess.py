@@ -51,14 +51,18 @@ def test_two_process_data_parallel_loss():
     for rc, out, err in outs:
         assert rc == 0, f"worker failed (rc={rc}):\n{out}\n{err}"
 
-    line = [l for l in outs[0][1].splitlines() if l.startswith("DP_LOSS=")]
-    assert line, f"no DP_LOSS in worker 0 output:\n{outs[0][1]}"
-    dp_loss = float(line[0].split("=")[1])
+    def grab(key):
+        line = [l for l in outs[0][1].splitlines() if l.startswith(key + "=")]
+        assert line, f"no {key} in worker 0 output:\n{outs[0][1]}"
+        return float(line[0].split("=")[1])
+
+    dp_loss = grab("DP_LOSS")
+    tp_loss = grab("TP_LOSS")
 
     # Single-process oracle on the same deterministic batch.
     from monotonic_rnnt_tpu import monotonic_rnnt_loss
 
-    GB, T, S, V = 8, 12, 4, 9
+    GB, T, S, V = 8, 12, 4, 10
     rng = np.random.RandomState(0)
     logits = jnp.asarray(rng.randn(GB, T, S + 1, V).astype(np.float32))
     labels = jnp.asarray(rng.randint(1, V, size=(GB, S)).astype(np.int32))
@@ -67,6 +71,9 @@ def test_two_process_data_parallel_loss():
     expected = float(jnp.mean(monotonic_rnnt_loss(
         logits, labels, ilen, slen, backend="reference")))
     np.testing.assert_allclose(dp_loss, expected, rtol=1e-5, atol=1e-5)
+    # The vocab-sharded (DP x TP) loss over the same 2 processes: the data
+    # mean crosses process boundaries, the vocab pmax/psum stay intra-process.
+    np.testing.assert_allclose(tp_loss, expected, rtol=1e-5, atol=1e-5)
 
 
 def test_local_batch_slice_contract(monkeypatch):
