@@ -199,7 +199,8 @@ def shard_train_state(state: TrainState, mesh: Mesh) -> TrainState:
 
 def make_tp_sharded_train_step(mesh: Mesh, model: MonotonicTransducer,
                                params, chunk_t: int = 32,
-                               deterministic: bool = False):
+                               deterministic: bool = False,
+                               band_width: int = None):
     """Train step with batch on 'data' AND the vocab axis on 'model'.
 
     The production configuration for large vocabularies: the joint's output
@@ -215,14 +216,22 @@ def make_tp_sharded_train_step(mesh: Mesh, model: MonotonicTransducer,
     folds the data-axis index into the step rng so masks differ per data
     shard but agree across the model axis.
 
-    Returns step(state, batch) -> (state, metrics), jitted.
+    With band_width set, the step is the full long-utterance composition —
+    the joint is evaluated only on band cells (ops/chunked_banded.py), so
+    per-chip work is O(B/n_data · T · W · V/n_model) — and takes
+    step(state, batch, bands) with `bands` a Bands pair in *encoder-frame*
+    time (e.g. bands_from_alignment on stored alignments).
+
+    Returns step(state, batch[, bands]) -> (state, metrics), jitted.
     """
     import dataclasses as _dc
     from functools import partial as _partial
 
     from jax import shard_map
 
+    from ..ops.bands import Bands
     from ..ops.chunked import rnnt_loss_fused_joint
+    from ..ops.chunked_banded import rnnt_loss_fused_joint_banded
     from .transducer import Joint
 
     n_model = mesh.shape[MODEL_AXIS]
@@ -234,6 +243,7 @@ def make_tp_sharded_train_step(mesh: Mesh, model: MonotonicTransducer,
     pspecs = transducer_tp_specs(params)
     dspecs = (P(DATA_AXIS, None, None), P(DATA_AXIS), P(DATA_AXIS, None),
               P(DATA_AXIS))
+    bspecs = (P(DATA_AXIS, None), P(DATA_AXIS, None))
 
     def _encode(m, feats, flen, det):
         return m.encode(feats, flen, det)
@@ -241,9 +251,7 @@ def make_tp_sharded_train_step(mesh: Mesh, model: MonotonicTransducer,
     def _predict(m, labels, det):
         return m.predictor(labels, det)
 
-    @_partial(shard_map, mesh=mesh, in_specs=(pspecs, dspecs, P()),
-              out_specs=(P(), pspecs))
-    def loss_and_grads(p, batch, rng):
+    def _loss_and_grads(p, batch, rng, bands):
         feats, feat_lengths, labels, label_lengths = batch
         rngs = None
         if not deterministic:
@@ -256,15 +264,25 @@ def make_tp_sharded_train_step(mesh: Mesh, model: MonotonicTransducer,
                                            method=_encode, rngs=rngs)
             pred = model.apply({"params": p}, labels, deterministic,
                                method=_predict, rngs=rngs)
+            slen = label_lengths.astype(jnp.int32)
+            if band_width is None:
+                def joint_fn(jp, e_c, pr):
+                    return joint_local.apply({"params": jp}, e_c, pr)
 
-            def joint_fn(jp, e_c, pr):
-                return joint_local.apply({"params": jp}, e_c, pr)
+                costs = rnnt_loss_fused_joint(
+                    enc, pred, labels, enc_lengths, slen, joint_fn,
+                    p["joint"], blank_id=model.cfg.blank_id,
+                    chunk_t=chunk_t, axis_name=MODEL_AXIS)
+            else:
+                def joint_fn(jp, e_c, pb):
+                    return joint_local.apply({"params": jp}, e_c, pb,
+                                             method="banded")
 
-            costs = rnnt_loss_fused_joint(
-                enc, pred, labels, enc_lengths,
-                label_lengths.astype(jnp.int32), joint_fn, p["joint"],
-                blank_id=model.cfg.blank_id, chunk_t=chunk_t,
-                axis_name=MODEL_AXIS)
+                costs = rnnt_loss_fused_joint_banded(
+                    enc, pred, labels, enc_lengths, slen, joint_fn,
+                    p["joint"], bands=bands, band_width=band_width,
+                    blank_id=model.cfg.blank_id, chunk_t=chunk_t,
+                    axis_name=MODEL_AXIS)
             total = jax.lax.psum(jnp.sum(costs), DATA_AXIS)
             n = jax.lax.psum(jnp.asarray(costs.shape[0], jnp.float32),
                              DATA_AXIS)
@@ -272,13 +290,34 @@ def make_tp_sharded_train_step(mesh: Mesh, model: MonotonicTransducer,
 
         return jax.value_and_grad(loss_fn)(p)
 
-    def step(state: TrainState, batch):
-        rng = jax.random.fold_in(state.dropout_rng, state.step)
-        loss, grads = loss_and_grads(state.params, batch, rng)
-        new_state = state.apply_gradients(grads=grads)
-        metrics = {"loss": loss, "grad_norm": optax.global_norm(grads),
-                   "step": state.step}
-        return new_state, metrics
+    if band_width is None:
+        @_partial(shard_map, mesh=mesh, in_specs=(pspecs, dspecs, P()),
+                  out_specs=(P(), pspecs))
+        def loss_and_grads(p, batch, rng):
+            return _loss_and_grads(p, batch, rng, None)
+
+        def step(state: TrainState, batch):
+            rng = jax.random.fold_in(state.dropout_rng, state.step)
+            loss, grads = loss_and_grads(state.params, batch, rng)
+            new_state = state.apply_gradients(grads=grads)
+            metrics = {"loss": loss, "grad_norm": optax.global_norm(grads),
+                       "step": state.step}
+            return new_state, metrics
+    else:
+        @_partial(shard_map, mesh=mesh,
+                  in_specs=(pspecs, dspecs, P(), bspecs),
+                  out_specs=(P(), pspecs))
+        def loss_and_grads(p, batch, rng, bands_pair):
+            return _loss_and_grads(p, batch, rng, Bands(*bands_pair))
+
+        def step(state: TrainState, batch, bands):
+            rng = jax.random.fold_in(state.dropout_rng, state.step)
+            loss, grads = loss_and_grads(state.params, batch, rng,
+                                         (bands.min_s, bands.max_s))
+            new_state = state.apply_gradients(grads=grads)
+            metrics = {"loss": loss, "grad_norm": optax.global_norm(grads),
+                       "step": state.step}
+            return new_state, metrics
 
     return jax.jit(step, donate_argnums=(0,))
 

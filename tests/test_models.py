@@ -108,6 +108,70 @@ def test_tp_sharded_train_step_matches_dp():
     assert n_sharded == 4, f"expected 4 model-sharded opt leaves, {n_sharded}"
 
 
+def test_tp_banded_train_step_matches_oracle():
+    """Banded vocab-TP train step == hand-built oracle step (O(W) x V/n).
+
+    The oracle computes the same mean banded loss from the monolithic
+    logits and applies the same optimizer; one update must land on the
+    same parameters.
+    """
+    import optax
+    from monotonic_rnnt_tpu import monotonic_rnnt_loss
+    from monotonic_rnnt_tpu.ops.bands import (bands_from_alignment,
+                                              required_band_width)
+    from monotonic_rnnt_tpu.models.train import (make_tp_sharded_train_step,
+                                                 shard_train_state)
+
+    cfg = _tiny_cfg()
+    model = MonotonicTransducer(cfg)
+    batch = tuple(jnp.asarray(a) for a in tiny_batch(
+        batch=8, t=32, feat_dim=16, s=4, vocab=32))
+    feats, flen, labels, slen = batch
+
+    state = create_train_state(cfg, jax.random.PRNGKey(0), batch,
+                               learning_rate=3e-3, warmup_steps=1)
+
+    # Bands in encoder-frame time from a synthetic alignment.
+    enc, enc_lengths = model.apply({"params": state.params}, feats, flen,
+                                   True, method=lambda m, f, fl, d:
+                                   m.encode(f, fl, d))
+    t_out = enc.shape[1]
+    rng = np.random.RandomState(5)
+    align = np.zeros((8, t_out), np.int32)
+    for b in range(8):
+        pos = np.sort(rng.choice(int(enc_lengths[b]), size=int(slen[b]),
+                                 replace=False))
+        align[b, pos] = np.asarray(labels)[b, :int(slen[b])]
+    bands = bands_from_alignment(jnp.asarray(align), enc_lengths,
+                                 slen.astype(jnp.int32), 2, 0)
+    width = int(required_band_width(enc_lengths, slen.astype(jnp.int32),
+                                    bands, t_out, labels.shape[1] + 1))
+
+    # Oracle: monolithic banded loss + identical optimizer update.
+    def oracle_loss(p):
+        logits, el = model.apply({"params": p}, feats, flen, labels, True,
+                                 method=lambda m, f, fl, la, d:
+                                 m.logits(f, fl, la, d))
+        return jnp.mean(monotonic_rnnt_loss(
+            logits, labels, el, slen, bands=bands, backend="reference"))
+
+    o_loss, o_grads = jax.jit(jax.value_and_grad(oracle_loss))(state.params)
+    updates, _ = state.tx.update(o_grads, state.opt_state, state.params)
+    o_params = optax.apply_updates(state.params, updates)
+
+    mesh = make_mesh(data=2, model=4)
+    step = make_tp_sharded_train_step(mesh, model, state.params, chunk_t=8,
+                                      band_width=width)
+    state_tp = shard_train_state(state, mesh)
+    state_tp, m_tp = step(state_tp, batch, bands)
+
+    np.testing.assert_allclose(float(m_tp["loss"]), float(o_loss), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(jax.device_get(state_tp.params)),
+                    jax.tree.leaves(o_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4,
+                                   atol=2e-5)
+
+
 def test_greedy_decode_shapes():
     cfg = _tiny_cfg()
     model = MonotonicTransducer(cfg)
