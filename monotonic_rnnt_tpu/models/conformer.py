@@ -136,9 +136,34 @@ class ConvSubsampler(nn.Module):
         return nn.Dense(cfg.dim, dtype=cfg.dtype)(x)
 
 
-def sinusoidal_positions(t: int, dim: int) -> jnp.ndarray:
-    """[t, dim] fixed sinusoidal position encodings (f32)."""
-    pos = jnp.arange(t, dtype=jnp.float32)[:, None]
+def streaming_lookback(cfg: ConformerConfig) -> int:
+    """Input-frame history needed for exact chunked streaming inference.
+
+    One emitted output frame's receptive field: each of the L blocks adds
+    attn_left_context (masked attention) + conv_kernel-1 (causal depthwise
+    conv) output frames; the strided subsampler multiplies by
+    subsample_factor and adds its own kernel context (≤ 2·factor input
+    frames). Requires a bounded attention window (attn_left_context ≥ 0) —
+    with unbounded causal attention the exact receptive field is the whole
+    stream. Returned value is a multiple of subsample_factor (the chunked
+    recompute keeps window offsets subsample-aligned).
+    """
+    if not cfg.causal:
+        raise ValueError("streaming requires causal=True")
+    if cfg.attn_left_context < 0:
+        raise ValueError("exact streaming requires a bounded "
+                         "attn_left_context (>= 0)")
+    rf_out = cfg.num_layers * (cfg.attn_left_context + cfg.conv_kernel - 1)
+    return (rf_out + 2) * cfg.subsample_factor
+
+
+def sinusoidal_positions(t: int, dim: int, offset=0) -> jnp.ndarray:
+    """[t, dim] fixed sinusoidal position encodings (f32), from `offset`.
+
+    `offset` may be a traced scalar — chunked streaming recomputes a sliding
+    window whose absolute start position moves with the stream.
+    """
+    pos = (jnp.arange(t, dtype=jnp.float32) + offset)[:, None]
     half = dim // 2
     inv_freq = jnp.exp(-jnp.log(10000.0)
                        * jnp.arange(half, dtype=jnp.float32) / half)
@@ -155,7 +180,10 @@ class ConformerEncoder(nn.Module):
     cfg: ConformerConfig
 
     @nn.compact
-    def __call__(self, feats, feat_lengths, deterministic: bool = True):
+    def __call__(self, feats, feat_lengths, deterministic: bool = True,
+                 pos_offset=0):
+        """pos_offset: absolute output-frame index of feats' first frame
+        (in subsampled time) — nonzero only for chunked streaming windows."""
         cfg = self.cfg
         # Zero out padded input frames first: the strided subsampling convs
         # would otherwise leak arbitrary padding values into the last valid
@@ -166,7 +194,8 @@ class ConformerEncoder(nn.Module):
         x = ConvSubsampler(cfg)(feats, feat_lengths)
         # Inject position: self-attention is otherwise permutation-invariant
         # (the conv modules alone give only short-range order).
-        x = x + sinusoidal_positions(x.shape[1], cfg.dim).astype(x.dtype)
+        x = x + sinusoidal_positions(x.shape[1], cfg.dim,
+                                     pos_offset).astype(x.dtype)
         out_lengths = feat_lengths
         for _ in range(_subsample_stages(cfg.subsample_factor)):
             out_lengths = (out_lengths - 1) // 2 + 1

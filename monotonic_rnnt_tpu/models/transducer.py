@@ -145,6 +145,123 @@ class MonotonicTransducer(nn.Module):
         (hyp, n_hyp, _, _), _ = jax.lax.scan(step, init, jnp.arange(t_out))
         return hyp, n_hyp
 
+    # ------------------------------------------------------------------
+    # Chunked streaming inference (causal encoder + stateful greedy decode)
+    # ------------------------------------------------------------------
+
+    def _sub_lengths(self, n):
+        """Input-frame count -> encoder output-frame count (per subsampler)."""
+        from .conformer import _subsample_stages
+        out = n
+        for _ in range(_subsample_stages(self.cfg.encoder.subsample_factor)):
+            out = (out - 1) // 2 + 1
+        return out
+
+    def streaming_init(self, batch: int, feat_dim: int, lookback: int,
+                       max_labels: int):
+        """Fresh streaming state for a batch of audio streams.
+
+        lookback: input-frame history kept for exact recompute — size it
+        with conformer.streaming_lookback(cfg.encoder); must be a multiple
+        of the subsample factor. The state is a pytree (jit/scan friendly).
+        """
+        sub = self.cfg.encoder.subsample_factor
+        if lookback % sub:
+            raise ValueError(f"lookback {lookback} not a multiple of the "
+                             f"subsample factor {sub}")
+        pstate = self.predictor.init_state(batch)
+        pstate, ctx = self.predictor.step(
+            pstate, jnp.zeros((batch,), jnp.int32))     # consume BOS
+        return {
+            "buffer": jnp.zeros((batch, lookback, feat_dim), jnp.float32),
+            "n_seen": jnp.zeros((), jnp.int32),          # frames pushed
+            "valid": jnp.zeros((batch,), jnp.int32),     # true frames
+            "pstate": pstate,
+            "ctx": ctx,
+            "hyp": jnp.zeros((batch, max_labels), jnp.int32),
+            "n_hyp": jnp.zeros((batch,), jnp.int32),
+        }
+
+    def streaming_step(self, state, feat_chunk, chunk_valid=None):
+        """Push one chunk of frames; returns (state, emitted [B, C'] ids).
+
+        feat_chunk [B, C, F] with C a multiple of the subsample factor;
+        chunk_valid [B] true frames in this chunk (default: all C — pad a
+        stream that ended with zero-valid chunks). Exactness: with the
+        causal encoder, bounded attn_left_context, and lookback >=
+        streaming_lookback(cfg), the emitted hypothesis equals
+        greedy_decode on the full utterance. Emitted ids are 0 (blank)
+        where nothing was emitted in that output frame.
+        """
+        enc_cfg = self.cfg.encoder
+        sub = enc_cfg.subsample_factor
+        batch, chunk_t, feat_dim = feat_chunk.shape
+        if chunk_t % sub:
+            raise ValueError(f"chunk frames {chunk_t} not a multiple of the "
+                             f"subsample factor {sub}")
+        if chunk_valid is None:
+            chunk_valid = jnp.full((batch,), chunk_t, jnp.int32)
+        lookback = state["buffer"].shape[1]
+        blank = self.cfg.blank_id
+        c_out = chunk_t // sub
+
+        # Window = [history | chunk], content left-aligned: early in the
+        # stream only `avail` history frames exist, and start-of-stream
+        # must look like start-of-utterance (left zero-pad + masks), not
+        # like attended-to garbage frames.
+        avail = jnp.minimum(state["n_seen"], lookback)   # multiple of sub
+        window = jnp.concatenate(
+            [state["buffer"], feat_chunk.astype(jnp.float32)], axis=1)
+        window = jnp.roll(window, -(lookback - avail), axis=1)
+        s0 = state["n_seen"] - avail                     # abs frame of w[0]
+        valid_new = state["valid"] + chunk_valid.astype(jnp.int32)
+        win_lengths = jnp.clip(valid_new - s0, 0, avail + chunk_t)
+
+        enc_win, _ = self.encoder(window, win_lengths, True,
+                                  pos_offset=s0 // sub)
+        emit_enc = jax.lax.dynamic_slice_in_dim(
+            enc_win, avail // sub, c_out, axis=1)        # [B, C', D]
+
+        # Absolute output-frame indices of the emitted window and each
+        # sample's total valid output frames: the greedy gate.
+        abs_out0 = state["n_seen"] // sub
+        out_total = self._sub_lengths(valid_new)         # [B]
+        max_labels = state["hyp"].shape[1]
+
+        def step(carry, k):
+            hyp, n_hyp, pstate, ctx = carry
+            enc_t = jax.lax.dynamic_slice_in_dim(emit_enc, k, 1, axis=1)
+            logit = self.joint(enc_t, ctx[:, None, :])[:, 0, 0, :]
+            tok = jnp.argmax(logit, axis=-1).astype(jnp.int32)
+            emit = ((tok != blank) & (abs_out0 + k < out_total)
+                    & (n_hyp < max_labels))
+            hyp = jnp.where(
+                emit[:, None] & (jnp.arange(max_labels)[None, :]
+                                 == n_hyp[:, None]),
+                tok[:, None], hyp)
+            n_hyp = n_hyp + emit.astype(jnp.int32)
+            new_pstate, new_ctx = self.predictor.step(pstate, tok)
+            pstate = self._select_state(emit, new_pstate, pstate)
+            ctx = jnp.where(emit[:, None], new_ctx, ctx)
+            return (hyp, n_hyp, pstate, ctx), jnp.where(emit, tok, 0)
+
+        init = (state["hyp"], state["n_hyp"], state["pstate"], state["ctx"])
+        (hyp, n_hyp, pstate, ctx), emitted = jax.lax.scan(
+            step, init, jnp.arange(c_out))
+
+        new_state = {
+            "buffer": jnp.concatenate(
+                [state["buffer"], feat_chunk.astype(jnp.float32)],
+                axis=1)[:, -lookback:],
+            "n_seen": state["n_seen"] + chunk_t,
+            "valid": valid_new,
+            "pstate": pstate,
+            "ctx": ctx,
+            "hyp": hyp,
+            "n_hyp": n_hyp,
+        }
+        return new_state, emitted.T                      # [B, C']
+
     def beam_search_decode(self, feats, feat_lengths, max_labels: int,
                            beam_size: int, deterministic: bool = True,
                            merge_paths: bool = False):

@@ -172,6 +172,59 @@ def test_tp_banded_train_step_matches_oracle():
                                    atol=2e-5)
 
 
+def test_streaming_decode_matches_full_greedy():
+    """Chunked streaming inference == full-utterance greedy decode, exactly.
+
+    Causal encoder with bounded attention window; the streaming state
+    carries a streaming_lookback-sized raw-frame history, so every emitted
+    frame's receptive field is fully inside the recompute window.
+    """
+    from monotonic_rnnt_tpu.models.conformer import streaming_lookback
+
+    cfg = TransducerConfig(
+        encoder=ConformerConfig(num_layers=2, dim=64, num_heads=2,
+                                dropout=0.0, causal=True,
+                                attn_left_context=4, conv_kernel=7,
+                                dtype=jnp.float32),
+        predictor=PredictorConfig(vocab_size=32, dim=64, embed_dim=32,
+                                  dtype=jnp.float32),
+        joint_dim=64, vocab_size=32, dtype=jnp.float32)
+    model = MonotonicTransducer(cfg)
+
+    B, T, F, C, max_labels = 2, 64, 16, 16, 10
+    rng = np.random.RandomState(3)
+    feats = jnp.asarray(rng.randn(B, T, F).astype(np.float32))
+    flen = jnp.asarray([T, T - 13], jnp.int32)
+    labels = jnp.asarray(rng.randint(1, 32, (B, 4)).astype(np.int32))
+    slen = jnp.full((B,), 4, jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), feats, flen, labels, slen)
+
+    hyp_full, n_full = jax.jit(lambda p, f, fl: model.apply(
+        p, f, fl, max_labels, method="greedy_decode"))(params, feats, flen)
+
+    lookback = streaming_lookback(cfg.encoder)
+    state = model.apply(params, B, F, lookback, max_labels,
+                        method="streaming_init")
+    step = jax.jit(lambda p, st, ch, cv: model.apply(
+        p, st, ch, cv, method="streaming_step"))
+    emitted_all = []
+    for i in range(0, T, C):
+        cv = jnp.clip(flen - i, 0, C)
+        state, emitted = step(params, state, feats[:, i:i + C], cv)
+        emitted_all.append(np.asarray(emitted))
+
+    np.testing.assert_array_equal(np.asarray(state["n_hyp"]),
+                                  np.asarray(n_full))
+    np.testing.assert_array_equal(np.asarray(state["hyp"]),
+                                  np.asarray(hyp_full))
+    # The per-chunk emission stream re-assembles the same label sequence.
+    stream = np.concatenate(emitted_all, axis=1)
+    for b in range(B):
+        toks = stream[b][stream[b] != 0]
+        np.testing.assert_array_equal(
+            toks, np.asarray(hyp_full)[b][:int(n_full[b])])
+
+
 def test_greedy_decode_shapes():
     cfg = _tiny_cfg()
     model = MonotonicTransducer(cfg)
