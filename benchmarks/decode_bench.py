@@ -57,6 +57,10 @@ def main(argv=None):
     p.add_argument("--beam", type=int, default=4)
     p.add_argument("--iters", type=int, default=20)
     p.add_argument("--f32", action="store_true")
+    p.add_argument("--stream-chunk", type=int, default=32,
+                   help="streaming chunk size in 10ms frames")
+    p.add_argument("--attn-left", type=int, default=16,
+                   help="causal attention window for the streaming model")
     p.add_argument("--json-out", default=None)
     args = p.parse_args(argv)
 
@@ -125,6 +129,43 @@ def main(argv=None):
     t_greedy = _timed(greedy_run, (params, feats, flen), args.iters, lo)
     t_beam = _timed(beam_run, (params, feats, flen), args.iters, lo)
 
+    # Streaming: per-chunk latency of exact chunked inference on the causal
+    # model (the serving metric — how far behind real time each 10ms-hop
+    # chunk lands). The carried state makes the loop data-dependent.
+    from monotonic_rnnt_tpu.models.conformer import streaming_lookback
+
+    s_cfg = TransducerConfig(
+        encoder=ConformerConfig(num_layers=args.layers, dim=args.dim,
+                                num_heads=max(2, args.dim // 64),
+                                dropout=0.0, causal=True,
+                                attn_left_context=args.attn_left,
+                                dtype=dtype),
+        predictor=PredictorConfig(vocab_size=args.vocab, dim=args.dim,
+                                  embed_dim=args.dim // 2, dtype=dtype),
+        joint_dim=args.dim, vocab_size=args.vocab, dtype=dtype)
+    s_model = MonotonicTransducer(s_cfg)
+    s_params = s_model.init(jax.random.PRNGKey(0), feats, flen, labels,
+                            slen)["params"]
+    lookback = streaming_lookback(s_cfg.encoder)
+    chunk = feats[:, :args.stream_chunk]
+    cv = jnp.full((B,), args.stream_chunk, jnp.int32)
+    state0 = s_model.apply({"params": s_params}, B, args.feat_dim, lookback,
+                           args.max_labels, method="streaming_init")
+
+    def stream_run(iters):
+        @jax.jit
+        def run(params, state, chunk, cv):
+            def body(i, st):
+                st2, _ = s_model.apply({"params": params}, st, chunk, cv,
+                                       method="streaming_step")
+                return st2
+            return jax.lax.fori_loop(0, iters, body, state)["ctx"].sum()
+
+        return lambda *a: run(*a)
+
+    t_stream = _timed(stream_run, (s_params, state0, chunk, cv),
+                      args.iters, lo)
+
     n_params = sum(int(np.prod(x.shape)) for x in jax.tree.leaves(params))
     # 10 ms frame hop -> audio seconds decoded per wall second.
     rtf_greedy = B * T * 0.01 / t_greedy
@@ -141,6 +182,11 @@ def main(argv=None):
         "beam_x_realtime": round(rtf_beam, 1),
         "params_m": round(n_params / 1e6, 1),
         "max_labels": args.max_labels,
+        "streaming_ms_per_chunk": round(t_stream * 1e3, 3),
+        "streaming_chunk_frames": args.stream_chunk,
+        "streaming_lookback_frames": lookback,
+        "streaming_x_realtime": round(
+            B * args.stream_chunk * 0.01 / t_stream, 1),
         "device": jax.devices()[0].device_kind,
     }
     line = json.dumps(result)
