@@ -7,9 +7,9 @@ with the predictor advanced statefully.
 
 Timing: K data-dependent iterations inside ONE jit (each iteration folds the
 previous hypothesis lengths back into the features), measured at two loop
-lengths to subtract the tunnel's fixed per-dispatch cost (~30 ms; see
-utils/profiling.corrected_loop_bench — same two-point method, but with
-params passed as jit arguments so weights are never baked in as constants).
+lengths to subtract the tunnel's fixed per-dispatch cost (~30 ms):
+utils/profiling.corrected_args_loop_bench, the variant that passes params as
+jit arguments so weights are never baked in as constants.
 
   python benchmarks/decode_bench.py [--batch 16] [--frames 400] [--layers 4]
       [--dim 256] [--vocab 1024] [--beam 4] [--iters 20] [--json-out FILE]
@@ -20,29 +20,9 @@ from __future__ import annotations
 import argparse
 import json
 import sys
-import time
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
-
-
-def _timed(run, args, iters, lo_iters, trials=3):
-    """Two-point dispatch-corrected seconds/iteration of a jitted loop fn."""
-    def measure(fn, n):
-        jax.block_until_ready(fn(*args))          # compile + warm
-        ts = []
-        for _ in range(trials):
-            t0 = time.perf_counter()
-            jax.block_until_ready(fn(*args))
-            ts.append((time.perf_counter() - t0))
-        return min(ts) / n
-
-    import jax
-
-    t_hi = measure(run(iters), iters)
-    t_lo = measure(run(lo_iters), lo_iters)
-    per_iter = (t_hi * iters - t_lo * lo_iters) / (iters - lo_iters)
-    return float(per_iter)
 
 
 def main(argv=None):
@@ -125,9 +105,12 @@ def main(argv=None):
 
         return lambda *a: run(*a)
 
-    lo = max(1, args.iters // 4)
-    t_greedy = _timed(greedy_run, (params, feats, flen), args.iters, lo)
-    t_beam = _timed(beam_run, (params, feats, flen), args.iters, lo)
+    from monotonic_rnnt_tpu.utils.profiling import corrected_args_loop_bench
+
+    t_greedy = corrected_args_loop_bench(greedy_run, (params, feats, flen),
+                                         args.iters)
+    t_beam = corrected_args_loop_bench(beam_run, (params, feats, flen),
+                                       args.iters)
 
     # Streaming: per-chunk latency of exact chunked inference on the causal
     # model (the serving metric — how far behind real time each 10ms-hop
@@ -163,8 +146,8 @@ def main(argv=None):
 
         return lambda *a: run(*a)
 
-    t_stream = _timed(stream_run, (s_params, state0, chunk, cv),
-                      args.iters, lo)
+    t_stream = corrected_args_loop_bench(
+        stream_run, (s_params, state0, chunk, cv), args.iters)
 
     n_params = sum(int(np.prod(x.shape)) for x in jax.tree.leaves(params))
     # 10 ms frame hop -> audio seconds decoded per wall second.

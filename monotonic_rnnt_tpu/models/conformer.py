@@ -109,6 +109,17 @@ def _subsample_stages(factor: int) -> int:
     return int(factor).bit_length() - 1
 
 
+def subsampled_length(cfg: ConformerConfig, n):
+    """Input-frame count -> encoder output-frame count ((n-1)//2+1 per stage).
+
+    THE length contract of the strided subsampler — the encoder's pad masks
+    and the streaming emit gate must use this exact formula.
+    """
+    for _ in range(_subsample_stages(cfg.subsample_factor)):
+        n = (n - 1) // 2 + 1
+    return n
+
+
 class ConvSubsampler(nn.Module):
     """log2(subsample_factor) stride-2 2D convs over (time, freq)."""
 
@@ -196,9 +207,7 @@ class ConformerEncoder(nn.Module):
         # (the conv modules alone give only short-range order).
         x = x + sinusoidal_positions(x.shape[1], cfg.dim,
                                      pos_offset).astype(x.dtype)
-        out_lengths = feat_lengths
-        for _ in range(_subsample_stages(cfg.subsample_factor)):
-            out_lengths = (out_lengths - 1) // 2 + 1
+        out_lengths = subsampled_length(cfg, feat_lengths)
         t_out = x.shape[1]
         pad_mask = (jnp.arange(t_out)[None, :]
                     < out_lengths[:, None]).astype(jnp.bool_)

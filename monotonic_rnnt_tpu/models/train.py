@@ -295,14 +295,6 @@ def make_tp_sharded_train_step(mesh: Mesh, model: MonotonicTransducer,
                   out_specs=(P(), pspecs))
         def loss_and_grads(p, batch, rng):
             return _loss_and_grads(p, batch, rng, None)
-
-        def step(state: TrainState, batch):
-            rng = jax.random.fold_in(state.dropout_rng, state.step)
-            loss, grads = loss_and_grads(state.params, batch, rng)
-            new_state = state.apply_gradients(grads=grads)
-            metrics = {"loss": loss, "grad_norm": optax.global_norm(grads),
-                       "step": state.step}
-            return new_state, metrics
     else:
         @_partial(shard_map, mesh=mesh,
                   in_specs=(pspecs, dspecs, P(), bspecs),
@@ -310,14 +302,20 @@ def make_tp_sharded_train_step(mesh: Mesh, model: MonotonicTransducer,
         def loss_and_grads(p, batch, rng, bands_pair):
             return _loss_and_grads(p, batch, rng, Bands(*bands_pair))
 
+    def _step(state: TrainState, batch, *extra):
+        rng = jax.random.fold_in(state.dropout_rng, state.step)
+        loss, grads = loss_and_grads(state.params, batch, rng, *extra)
+        new_state = state.apply_gradients(grads=grads)
+        metrics = {"loss": loss, "grad_norm": optax.global_norm(grads),
+                   "step": state.step}
+        return new_state, metrics
+
+    if band_width is None:
+        def step(state: TrainState, batch):
+            return _step(state, batch)
+    else:
         def step(state: TrainState, batch, bands):
-            rng = jax.random.fold_in(state.dropout_rng, state.step)
-            loss, grads = loss_and_grads(state.params, batch, rng,
-                                         (bands.min_s, bands.max_s))
-            new_state = state.apply_gradients(grads=grads)
-            metrics = {"loss": loss, "grad_norm": optax.global_norm(grads),
-                       "step": state.step}
-            return new_state, metrics
+            return _step(state, batch, (bands.min_s, bands.max_s))
 
     return jax.jit(step, donate_argnums=(0,))
 

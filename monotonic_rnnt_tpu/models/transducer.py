@@ -149,14 +149,6 @@ class MonotonicTransducer(nn.Module):
     # Chunked streaming inference (causal encoder + stateful greedy decode)
     # ------------------------------------------------------------------
 
-    def _sub_lengths(self, n):
-        """Input-frame count -> encoder output-frame count (per subsampler)."""
-        from .conformer import _subsample_stages
-        out = n
-        for _ in range(_subsample_stages(self.cfg.encoder.subsample_factor)):
-            out = (out - 1) // 2 + 1
-        return out
-
     def streaming_init(self, batch: int, feat_dim: int, lookback: int,
                        max_labels: int):
         """Fresh streaming state for a batch of audio streams.
@@ -190,8 +182,8 @@ class MonotonicTransducer(nn.Module):
         stream that ended with zero-valid chunks). Exactness: with the
         causal encoder, bounded attn_left_context, and lookback >=
         streaming_lookback(cfg), the emitted hypothesis equals
-        greedy_decode on the full utterance. Emitted ids are 0 (blank)
-        where nothing was emitted in that output frame.
+        greedy_decode on the full utterance. Emitted ids are blank_id where
+        nothing was emitted in that output frame.
         """
         enc_cfg = self.cfg.encoder
         sub = enc_cfg.subsample_factor
@@ -224,8 +216,9 @@ class MonotonicTransducer(nn.Module):
 
         # Absolute output-frame indices of the emitted window and each
         # sample's total valid output frames: the greedy gate.
+        from .conformer import subsampled_length
         abs_out0 = state["n_seen"] // sub
-        out_total = self._sub_lengths(valid_new)         # [B]
+        out_total = subsampled_length(enc_cfg, valid_new)   # [B]
         max_labels = state["hyp"].shape[1]
 
         def step(carry, k):
@@ -243,7 +236,7 @@ class MonotonicTransducer(nn.Module):
             new_pstate, new_ctx = self.predictor.step(pstate, tok)
             pstate = self._select_state(emit, new_pstate, pstate)
             ctx = jnp.where(emit[:, None], new_ctx, ctx)
-            return (hyp, n_hyp, pstate, ctx), jnp.where(emit, tok, 0)
+            return (hyp, n_hyp, pstate, ctx), jnp.where(emit, tok, blank)
 
         init = (state["hyp"], state["n_hyp"], state["pstate"], state["ctx"])
         (hyp, n_hyp, pstate, ctx), emitted = jax.lax.scan(

@@ -80,6 +80,40 @@ def dependent_loop_bench(
     return float(np.mean(times)), float(np.var(times))
 
 
+def corrected_args_loop_bench(
+    make_run: Callable,
+    args: Tuple,
+    iters: int,
+    trials: int = 3,
+) -> float:
+    """Two-point dispatch-corrected seconds/iteration, operands as jit args.
+
+    Variant of corrected_loop_bench for benchmarks whose operands (e.g.
+    model params) are MB-sized: dependent_loop_bench closes over args[1:]
+    as jit constants, which serialize through the tunnel (see CLAUDE.md);
+    here `make_run(iters)` must return a jitted callable taking *args*
+    explicitly, with a data-dependent chain of `iters` iterations inside.
+    Requires iters >= 2 (the correction solves a two-point line).
+    """
+    if iters < 2:
+        raise ValueError(f"iters must be >= 2 for the two-point "
+                         f"correction, got {iters}")
+    lo = max(1, iters // 4)
+
+    def measure(fn, n):
+        jax.block_until_ready(fn(*args))          # compile + warm
+        ts = []
+        for _ in range(trials):
+            t0 = time.perf_counter()
+            jax.block_until_ready(fn(*args))
+            ts.append(time.perf_counter() - t0)
+        return min(ts) / n
+
+    t_hi = measure(make_run(iters), iters)
+    t_lo = measure(make_run(lo), lo)
+    return float((t_hi * iters - t_lo * lo) / (iters - lo))
+
+
 def default_perturb(x, acc):
     """Cheap in-place data dependence: nudge one lane by an epsilon of acc."""
     return x.at[(0,) * (x.ndim - 1) + (slice(0, 1),)].add(

@@ -191,7 +191,10 @@ def test_streaming_decode_matches_full_greedy():
         joint_dim=64, vocab_size=32, dtype=jnp.float32)
     model = MonotonicTransducer(cfg)
 
-    B, T, F, C, max_labels = 2, 64, 16, 16, 10
+    # T must exceed the lookback (88 frames for this config) so the window
+    # truncation path is live: avail == lookback, s0 > 0, nonzero
+    # pos_offset, and the content roll all execute.
+    B, T, F, C, max_labels = 2, 128, 16, 16, 24
     rng = np.random.RandomState(3)
     feats = jnp.asarray(rng.randn(B, T, F).astype(np.float32))
     flen = jnp.asarray([T, T - 13], jnp.int32)
@@ -203,6 +206,7 @@ def test_streaming_decode_matches_full_greedy():
         p, f, fl, max_labels, method="greedy_decode"))(params, feats, flen)
 
     lookback = streaming_lookback(cfg.encoder)
+    assert T > lookback, "test must exercise window truncation"
     state = model.apply(params, B, F, lookback, max_labels,
                         method="streaming_init")
     step = jax.jit(lambda p, st, ch, cv: model.apply(
