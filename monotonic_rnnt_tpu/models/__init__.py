@@ -4,9 +4,10 @@ Public surface:
   ConformerConfig / ConformerEncoder     — acoustic encoder (causal option)
   PredictorConfig / LstmPredictor / ConvPredictor — label-context networks
   TransducerConfig / MonotonicTransducer — encoder + predictor + joint + loss,
-      with greedy_decode, beam_search_decode (merge_paths option), and exact
-      chunked streaming inference (streaming_init / streaming_step with a
-      conformer.streaming_lookback-sized history)
+      with greedy_decode, beam_search_decode (merge_paths; lm=/lm_weight=
+      shallow fusion following the lm.py protocol, BigramLm reference), and
+      exact chunked streaming inference (streaming_init / streaming_step
+      with a conformer.streaming_lookback-sized history)
   train: create_train_state, train_step, make_sharded_train_step,
       make_tp_sharded_train_step / shard_train_state / transducer_tp_specs
       (vocab-TP fused-joint training), save_checkpoint, restore_checkpoint

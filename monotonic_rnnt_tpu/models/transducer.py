@@ -257,7 +257,8 @@ class MonotonicTransducer(nn.Module):
 
     def beam_search_decode(self, feats, feat_lengths, max_labels: int,
                            beam_size: int, deterministic: bool = True,
-                           merge_paths: bool = False):
+                           merge_paths: bool = False, lm=None,
+                           lm_weight: float = 0.0):
         """Frame-synchronous beam search.
 
         Monotonic RNN-T emits exactly one decision per frame, so the beam
@@ -273,6 +274,14 @@ class MonotonicTransducer(nn.Module):
         state is fully determined by its label sequence — so the score
         approaches the sequence's marginal log-probability (-loss) as the
         beam widens.
+
+        lm/lm_weight: shallow fusion with an external language model
+        following the models/lm.py protocol (init_state/step). Label
+        candidates score logp_am + lm_weight * logp_lm; blank is never
+        LM-scored. Per-hypothesis LM states ride the beam exactly like
+        predictor states (gathered by parent, advanced on emission), so
+        merge_paths stays exact: identical label sequences are in
+        identical LM state. The reported scores include the LM terms.
 
         Returns (tokens [B, beam, max_labels], lengths [B, beam],
         scores [B, beam] log-probs), beams sorted best-first; beam_size=1
@@ -295,6 +304,10 @@ class MonotonicTransducer(nn.Module):
         pstate = self.predictor.init_state(batch * beam)
         pstate, ctx = self.predictor.step(
             pstate, jnp.zeros((batch * beam,), jnp.int32))   # consume BOS
+        if lm is not None:
+            lm_state, lm_logp = lm.step(
+                lm.init_state(batch * beam),
+                jnp.zeros((batch * beam,), jnp.int32))       # consume BOS
 
         def gather_parents(x, parent):
             """Reorder [B*K, ...] leaves by the beam's parent indices."""
@@ -305,7 +318,10 @@ class MonotonicTransducer(nn.Module):
             return out.reshape(batch * beam, *x.shape[1:])
 
         def step(carry, t):
-            tokens, n_hyp, score, pstate, ctx = carry
+            if lm is None:
+                tokens, n_hyp, score, pstate, ctx = carry
+            else:
+                tokens, n_hyp, score, pstate, ctx, lm_state, lm_logp = carry
             enc_t = jax.lax.dynamic_slice_in_dim(enc, t, 1, axis=1)
             enc_bk = jnp.broadcast_to(
                 enc_t[:, None], (batch, beam, 1, enc_dim)).reshape(
@@ -313,6 +329,13 @@ class MonotonicTransducer(nn.Module):
             logits = self.joint(enc_bk, ctx[:, None, :])[:, 0, 0, :]
             logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
             logp = logp.reshape(batch, beam, vocab)
+            if lm is not None:
+                # Shallow fusion on label candidates only: blank keeps the
+                # hypothesis, so the label-sequence LM has nothing to say.
+                fuse = jnp.where(v_idx[None, None, :] == blank, 0.0,
+                                 lm_weight
+                                 * lm_logp.reshape(batch, beam, vocab))
+                logp = logp + fuse
             active = (t < enc_lengths)[:, None, None]
             logp = jnp.where(active, logp, frozen_logp[None, None, :])
 
@@ -364,8 +387,20 @@ class MonotonicTransducer(nn.Module):
             emit_flat = emit.reshape(batch * beam)
             next_state = self._select_state(emit_flat, stepped, par_state)
             next_ctx = jnp.where(emit_flat[:, None], stepped_ctx, par_ctx)
-            return (new_tokens, new_n, top_scores, next_state,
-                    next_ctx), None
+            if lm is None:
+                return (new_tokens, new_n, top_scores, next_state,
+                        next_ctx), None
+            # LM states ride the beam exactly like predictor states.
+            par_lm = jax.tree.map(lambda x: gather_parents(x, parent),
+                                  lm_state)
+            par_lm_logp = gather_parents(lm_logp, parent)
+            stepped_lm, stepped_logp = lm.step(par_lm,
+                                               tok.reshape(batch * beam))
+            next_lm = self._select_state(emit_flat, stepped_lm, par_lm)
+            next_lm_logp = jnp.where(emit_flat[:, None], stepped_logp,
+                                     par_lm_logp)
+            return (new_tokens, new_n, top_scores, next_state, next_ctx,
+                    next_lm, next_lm_logp), None
 
         init = (jnp.zeros((batch, beam, cap), jnp.int32),
                 jnp.zeros((batch, beam), jnp.int32),
@@ -373,8 +408,10 @@ class MonotonicTransducer(nn.Module):
                           NEG_INF).astype(jnp.float32)
                 * jnp.ones((batch, 1), jnp.float32),
                 pstate, ctx)
-        (tokens, n_hyp, score, _, _), _ = jax.lax.scan(step, init,
-                                                       jnp.arange(t_out))
+        if lm is not None:
+            init = init + (lm_state, lm_logp)
+        out_carry, _ = jax.lax.scan(step, init, jnp.arange(t_out))
+        tokens, n_hyp, score = out_carry[:3]
         if merge_paths:
             # Merging leaves dead slots interleaved; return best-first.
             order = jnp.argsort(-score, axis=1)

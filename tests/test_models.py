@@ -364,6 +364,55 @@ def test_predictor_step_matches_batched_call():
                                    err_msg=cls.__name__)
 
 
+def test_beam_search_lm_fusion_zero_weight_is_identity():
+    """Attaching an LM with lm_weight=0 changes nothing (exact equality)."""
+    from monotonic_rnnt_tpu.models.lm import BigramLm
+
+    cfg = _tiny_cfg()
+    model = MonotonicTransducer(cfg)
+    feats, flen, labels, slen = (jnp.asarray(a) for a in tiny_batch(
+        batch=3, t=24, feat_dim=16, s=4, vocab=32))
+    params = model.init(jax.random.PRNGKey(2), feats, flen, labels, slen)
+    rng = np.random.RandomState(0)
+    lm = BigramLm(jax.nn.log_softmax(
+        jnp.asarray(rng.randn(32, 32).astype(np.float32)), axis=-1))
+
+    def decode(**kw):
+        return jax.jit(lambda p, f, l: model.apply(
+            p, f, l, 6, 4, True, False,
+            method=MonotonicTransducer.beam_search_decode, **kw))(
+                params, feats, flen)
+
+    tok0, n0, s0 = decode()
+    tok1, n1, s1 = decode(lm=lm, lm_weight=0.0)
+    np.testing.assert_array_equal(np.asarray(tok0), np.asarray(tok1))
+    np.testing.assert_array_equal(np.asarray(n0), np.asarray(n1))
+    np.testing.assert_allclose(np.asarray(s0), np.asarray(s1), rtol=1e-6)
+
+
+def test_beam_search_lm_fusion_biases_labels():
+    """A strongly-weighted LM that only allows token 5 dominates emissions,
+    and the fused score accounts for the LM terms."""
+    from monotonic_rnnt_tpu.models.lm import BigramLm
+
+    cfg = _tiny_cfg()
+    model = MonotonicTransducer(cfg)
+    feats, flen, labels, slen = (jnp.asarray(a) for a in tiny_batch(
+        batch=3, t=24, feat_dim=16, s=4, vocab=32))
+    params = model.init(jax.random.PRNGKey(3), feats, flen, labels, slen)
+
+    only5 = jnp.where(jnp.arange(32)[None, :] == 5, 0.0, -40.0)
+    lm = BigramLm(jnp.broadcast_to(only5, (32, 32)))
+    tok, n, score = jax.jit(lambda p, f, l: model.apply(
+        p, f, l, 6, 4, True, False, lm, 5.0,
+        method=MonotonicTransducer.beam_search_decode))(params, feats, flen)
+    tok, n = np.asarray(tok), np.asarray(n)
+    for b in range(3):
+        emitted = tok[b, 0][:n[b, 0]]
+        assert (emitted == 5).all(), f"LM bias ignored: {emitted}"
+    assert np.all(np.isfinite(np.asarray(score[:, 0])))
+
+
 def test_beam_search_dead_beams_do_not_fabricate():
     # A sample whose utterance is empty (enc length 0 after subsampling can't
     # happen, but length-1 with beam > 1 leaves dead -inf beams): dead beams
