@@ -93,3 +93,31 @@ def export_greedy_decoder(model, example_params, example_feats,
 
     return export_fn(fn, (example_params, example_feats,
                           example_feat_lengths), platforms)
+
+
+def export_streaming_decoder(model, example_params, batch: int,
+                             feat_dim: int, chunk_frames: int,
+                             max_labels: int,
+                             platforms: Sequence[str] = ("tpu", "cpu")):
+    """Export one streaming_step as an artifact, plus its initial state.
+
+    Returns (blob, init_state): the artifact takes (params, state,
+    feat_chunk [B, C, F], chunk_valid [B]) and returns (state, emitted);
+    the serving loop feeds each returned state back in. The lookback is
+    sized from conformer.streaming_lookback (exact-recompute guarantee).
+    """
+    from .models.conformer import streaming_lookback
+
+    lookback = streaming_lookback(model.cfg.encoder)
+    init_state = model.apply(example_params, batch, feat_dim, lookback,
+                             max_labels, method="streaming_init")
+    chunk = jax.ShapeDtypeStruct((batch, chunk_frames, feat_dim),
+                                 jnp.float32)
+    cv = jax.ShapeDtypeStruct((batch,), jnp.int32)
+
+    def fn(params, state, feat_chunk, chunk_valid):
+        return model.apply(params, state, feat_chunk, chunk_valid,
+                           method="streaming_step")
+
+    return export_fn(fn, (example_params, init_state, chunk, cv),
+                     platforms), init_state

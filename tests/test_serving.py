@@ -79,6 +79,46 @@ def test_export_greedy_decoder_roundtrip():
     np.testing.assert_array_equal(np.asarray(n_hyp), np.asarray(ref_n))
 
 
+def test_export_streaming_decoder_roundtrip():
+    """Streamed decode through the deserialized artifact == live streaming."""
+    from monotonic_rnnt_tpu.data.synthetic import tiny_batch
+    from monotonic_rnnt_tpu.models.conformer import ConformerConfig
+    from monotonic_rnnt_tpu.models.predictor import PredictorConfig
+    from monotonic_rnnt_tpu.models.transducer import (MonotonicTransducer,
+                                                      TransducerConfig)
+    from monotonic_rnnt_tpu.serving import export_streaming_decoder
+
+    cfg = TransducerConfig(
+        encoder=ConformerConfig(num_layers=1, dim=64, num_heads=2,
+                                dropout=0.0, causal=True,
+                                attn_left_context=4, conv_kernel=7,
+                                dtype=jnp.float32),
+        predictor=PredictorConfig(vocab_size=32, dim=64, embed_dim=32,
+                                  dtype=jnp.float32),
+        joint_dim=64, vocab_size=32, dtype=jnp.float32)
+    model = MonotonicTransducer(cfg)
+    B, T, F, C, ML = 2, 64, 16, 16, 8
+    feats, flen, labels, slen = (jnp.asarray(a) for a in tiny_batch(
+        batch=B, t=T, feat_dim=F, s=4, vocab=32))
+    params = model.init(jax.random.PRNGKey(0), feats, flen, labels, slen)
+
+    blob, state = export_streaming_decoder(model, params, B, F, C, ML,
+                                           platforms=("cpu",))
+    step = import_fn(blob)
+    live_state = jax.tree.map(lambda x: x, state)
+    live_step = jax.jit(lambda p, st, ch, cv: model.apply(
+        p, st, ch, cv, method="streaming_step"))
+    for i in range(0, T, C):
+        cv = jnp.clip(flen - i, 0, C)
+        state, emitted = step(params, state, feats[:, i:i + C], cv)
+        live_state, live_emitted = live_step(params, live_state,
+                                             feats[:, i:i + C], cv)
+        np.testing.assert_array_equal(np.asarray(emitted),
+                                      np.asarray(live_emitted))
+    np.testing.assert_array_equal(np.asarray(state["hyp"]),
+                                  np.asarray(live_state["hyp"]))
+
+
 def test_export_fn_generic_roundtrip_bytes():
     """export_fn artifacts survive a real bytes round-trip (file-style)."""
     def fn(x, y):
