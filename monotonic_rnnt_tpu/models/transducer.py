@@ -174,33 +174,29 @@ class MonotonicTransducer(nn.Module):
             "n_hyp": jnp.zeros((batch,), jnp.int32),
         }
 
-    def streaming_step(self, state, feat_chunk, chunk_valid=None):
-        """Push one chunk of frames; returns (state, emitted [B, C'] ids).
+    def _stream_window(self, state, feat_chunk, chunk_valid):
+        """Chunked exact-recompute shared by greedy and beam streaming.
 
-        feat_chunk [B, C, F] with C a multiple of the subsample factor;
-        chunk_valid [B] true frames in this chunk (default: all C — pad a
-        stream that ended with zero-valid chunks). Exactness: with the
-        causal encoder, bounded attn_left_context, and lookback >=
-        streaming_lookback(cfg), the emitted hypothesis equals
-        greedy_decode on the full utterance. Emitted ids are blank_id where
-        nothing was emitted in that output frame.
+        Window = [history | chunk], content left-aligned: early in the
+        stream only `avail` history frames exist, and start-of-stream must
+        look like start-of-utterance (left zero-pad + masks), not like
+        attended-to garbage frames. Returns (emit_enc [B, C', D], abs_out0,
+        out_total [B], updates) where `updates` holds the new buffer /
+        n_seen / valid entries.
         """
+        from .conformer import subsampled_length
+
         enc_cfg = self.cfg.encoder
         sub = enc_cfg.subsample_factor
-        batch, chunk_t, feat_dim = feat_chunk.shape
+        batch, chunk_t, _ = feat_chunk.shape
         if chunk_t % sub:
             raise ValueError(f"chunk frames {chunk_t} not a multiple of the "
                              f"subsample factor {sub}")
         if chunk_valid is None:
             chunk_valid = jnp.full((batch,), chunk_t, jnp.int32)
         lookback = state["buffer"].shape[1]
-        blank = self.cfg.blank_id
         c_out = chunk_t // sub
 
-        # Window = [history | chunk], content left-aligned: early in the
-        # stream only `avail` history frames exist, and start-of-stream
-        # must look like start-of-utterance (left zero-pad + masks), not
-        # like attended-to garbage frames.
         avail = jnp.minimum(state["n_seen"], lookback)   # multiple of sub
         window = jnp.concatenate(
             [state["buffer"], feat_chunk.astype(jnp.float32)], axis=1)
@@ -214,11 +210,32 @@ class MonotonicTransducer(nn.Module):
         emit_enc = jax.lax.dynamic_slice_in_dim(
             enc_win, avail // sub, c_out, axis=1)        # [B, C', D]
 
-        # Absolute output-frame indices of the emitted window and each
-        # sample's total valid output frames: the greedy gate.
-        from .conformer import subsampled_length
         abs_out0 = state["n_seen"] // sub
         out_total = subsampled_length(enc_cfg, valid_new)   # [B]
+        updates = {
+            "buffer": jnp.concatenate(
+                [state["buffer"], feat_chunk.astype(jnp.float32)],
+                axis=1)[:, -lookback:],
+            "n_seen": state["n_seen"] + chunk_t,
+            "valid": valid_new,
+        }
+        return emit_enc, abs_out0, out_total, updates
+
+    def streaming_step(self, state, feat_chunk, chunk_valid=None):
+        """Push one chunk of frames; returns (state, emitted [B, C'] ids).
+
+        feat_chunk [B, C, F] with C a multiple of the subsample factor;
+        chunk_valid [B] true frames in this chunk (default: all C — pad a
+        stream that ended with zero-valid chunks). Exactness: with the
+        causal encoder, bounded attn_left_context, and lookback >=
+        streaming_lookback(cfg), the emitted hypothesis equals
+        greedy_decode on the full utterance. Emitted ids are blank_id where
+        nothing was emitted in that output frame.
+        """
+        blank = self.cfg.blank_id
+        emit_enc, abs_out0, out_total, updates = self._stream_window(
+            state, feat_chunk, chunk_valid)
+        c_out = emit_enc.shape[1]
         max_labels = state["hyp"].shape[1]
 
         def step(carry, k):
@@ -242,18 +259,58 @@ class MonotonicTransducer(nn.Module):
         (hyp, n_hyp, pstate, ctx), emitted = jax.lax.scan(
             step, init, jnp.arange(c_out))
 
-        new_state = {
-            "buffer": jnp.concatenate(
-                [state["buffer"], feat_chunk.astype(jnp.float32)],
-                axis=1)[:, -lookback:],
-            "n_seen": state["n_seen"] + chunk_t,
-            "valid": valid_new,
-            "pstate": pstate,
-            "ctx": ctx,
-            "hyp": hyp,
-            "n_hyp": n_hyp,
-        }
+        new_state = dict(updates, pstate=pstate, ctx=ctx, hyp=hyp,
+                         n_hyp=n_hyp)
         return new_state, emitted.T                      # [B, C']
+
+    def streaming_beam_init(self, batch: int, feat_dim: int, lookback: int,
+                            max_labels: int, beam_size: int, lm=None):
+        """Fresh streaming *beam* state (see streaming_init for sizing).
+
+        With lm set (models/lm.py protocol), the state carries
+        per-hypothesis LM states for shallow fusion; pass the same lm to
+        every streaming_beam_step.
+        """
+        sub = self.cfg.encoder.subsample_factor
+        if lookback % sub:
+            raise ValueError(f"lookback {lookback} not a multiple of the "
+                             f"subsample factor {sub}")
+        return {
+            "buffer": jnp.zeros((batch, lookback, feat_dim), jnp.float32),
+            "n_seen": jnp.zeros((), jnp.int32),
+            "valid": jnp.zeros((batch,), jnp.int32),
+            "beam": self._beam_init_carry(batch, beam_size, max_labels, lm),
+        }
+
+    def streaming_beam_step(self, state, feat_chunk, chunk_valid=None,
+                            lm=None, lm_weight: float = 0.0,
+                            merge_paths: bool = False):
+        """Push one chunk through streaming *beam search* (+ LM fusion).
+
+        Returns (state, (tokens [B, K, cap], lengths [B, K],
+        scores [B, K])) — the live beam after this chunk, unsorted (sort by
+        score for display; with merge_paths the dead duplicate slots score
+        -inf). The carried beam advances with the exact same frame step as
+        beam_search_decode, so the final beam equals the full-utterance
+        beam search exactly (same caveat as streaming_step: causal encoder,
+        bounded attention, sufficient lookback).
+        """
+        emit_enc, abs_out0, out_total, updates = self._stream_window(
+            state, feat_chunk, chunk_valid)
+        c_out = emit_enc.shape[1]
+        beam = state["beam"][1].shape[1]                 # n_hyp [B, K]
+        cap = state["beam"][0].shape[2]
+
+        def step(carry, k):
+            enc_t = jax.lax.dynamic_slice_in_dim(emit_enc, k, 1,
+                                                 axis=1)[:, 0]
+            return self._beam_frame_step(
+                carry, enc_t, abs_out0 + k < out_total, beam=beam, cap=cap,
+                merge_paths=merge_paths, lm=lm, lm_weight=lm_weight), None
+
+        new_beam, _ = jax.lax.scan(step, state["beam"], jnp.arange(c_out))
+        new_state = dict(updates, beam=new_beam)
+        return new_state, (new_beam[0], new_beam[1], new_beam[2])
 
     def beam_search_decode(self, feats, feat_lengths, max_labels: int,
                            beam_size: int, deterministic: bool = True,
@@ -287,129 +344,19 @@ class MonotonicTransducer(nn.Module):
         scores [B, beam] log-probs), beams sorted best-first; beam_size=1
         with merge_paths=False reproduces greedy_decode.
         """
-        from ..ops.helpers import NEG_INF
-
         enc, enc_lengths = self.encoder(feats, feat_lengths, deterministic)
-        batch, t_out, enc_dim = enc.shape
-        beam, cap = beam_size, max_labels
-        vocab = self.cfg.vocab_size
-        blank = self.cfg.blank_id
-        assert vocab >= beam, "beam_size must not exceed the vocabulary"
+        batch, t_out, _ = enc.shape
 
-        v_idx = jnp.arange(vocab, dtype=jnp.int32)
-        frozen_logp = jnp.where(v_idx == blank, 0.0,
-                                NEG_INF).astype(jnp.float32)
-
-        # Per-hypothesis predictor state, flattened to [B*K, ...] leaves.
-        pstate = self.predictor.init_state(batch * beam)
-        pstate, ctx = self.predictor.step(
-            pstate, jnp.zeros((batch * beam,), jnp.int32))   # consume BOS
-        if lm is not None:
-            lm_state, lm_logp = lm.step(
-                lm.init_state(batch * beam),
-                jnp.zeros((batch * beam,), jnp.int32))       # consume BOS
-
-        def gather_parents(x, parent):
-            """Reorder [B*K, ...] leaves by the beam's parent indices."""
-            xk = x.reshape(batch, beam, *x.shape[1:])
-            idx = parent.reshape(batch, beam,
-                                 *([1] * (x.ndim - 1)))
-            out = jnp.take_along_axis(xk, idx, axis=1)
-            return out.reshape(batch * beam, *x.shape[1:])
+        init = self._beam_init_carry(batch, beam_size, max_labels, lm)
 
         def step(carry, t):
-            if lm is None:
-                tokens, n_hyp, score, pstate, ctx = carry
-            else:
-                tokens, n_hyp, score, pstate, ctx, lm_state, lm_logp = carry
-            enc_t = jax.lax.dynamic_slice_in_dim(enc, t, 1, axis=1)
-            enc_bk = jnp.broadcast_to(
-                enc_t[:, None], (batch, beam, 1, enc_dim)).reshape(
-                    batch * beam, 1, enc_dim)
-            logits = self.joint(enc_bk, ctx[:, None, :])[:, 0, 0, :]
-            logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-            logp = logp.reshape(batch, beam, vocab)
-            if lm is not None:
-                # Shallow fusion on label candidates only: blank keeps the
-                # hypothesis, so the label-sequence LM has nothing to say.
-                fuse = jnp.where(v_idx[None, None, :] == blank, 0.0,
-                                 lm_weight
-                                 * lm_logp.reshape(batch, beam, vocab))
-                logp = logp + fuse
-            active = (t < enc_lengths)[:, None, None]
-            logp = jnp.where(active, logp, frozen_logp[None, None, :])
+            enc_t = jax.lax.dynamic_slice_in_dim(enc, t, 1,
+                                                 axis=1)[:, 0]    # [B, D]
+            return self._beam_frame_step(
+                carry, enc_t, t < enc_lengths, beam=beam_size,
+                cap=max_labels, merge_paths=merge_paths, lm=lm,
+                lm_weight=lm_weight), None
 
-            cand = score[:, :, None] + logp              # [B,K,V]
-            full = (n_hyp >= cap)[:, :, None] & (v_idx != blank)[None, None]
-            cand = jnp.where(full, NEG_INF, cand)
-            top_scores, top_idx = jax.lax.top_k(
-                cand.reshape(batch, beam * vocab), beam)
-            parent = top_idx // vocab                    # [B,K]
-            tok = (top_idx % vocab).astype(jnp.int32)
-
-            par_tokens = jnp.take_along_axis(tokens, parent[:, :, None],
-                                             axis=1)
-            par_n = jnp.take_along_axis(n_hyp, parent, axis=1)
-            # Dead beams (score -inf, e.g. fewer finite candidates than
-            # beam_size) must not fabricate tokens: only finite-scoring
-            # non-blank selections emit.
-            emit = (tok != blank) & (top_scores > NEG_INF)
-            slot = jnp.arange(cap, dtype=jnp.int32)[None, None, :]
-            new_tokens = jnp.where(
-                emit[:, :, None] & (slot == par_n[:, :, None]),
-                tok[:, :, None], par_tokens)
-            new_n = par_n + emit.astype(jnp.int32)
-
-            if merge_paths:
-                # Hypotheses with identical label sequences are in identical
-                # model state (same predictor history, same frame): merge
-                # exactly by summing probabilities into the lowest-index
-                # representative and killing the duplicates.
-                alive = top_scores > NEG_INF
-                dup = (new_n[:, :, None] == new_n[:, None, :]) & jnp.all(
-                    new_tokens[:, :, None] == new_tokens[:, None, :],
-                    axis=-1)
-                dup = dup & alive[:, :, None] & alive[:, None, :]
-                group = jnp.where(dup, top_scores[:, None, :], NEG_INF)
-                merged = jax.nn.logsumexp(group, axis=-1)
-                k_idx = jnp.arange(beam)
-                has_earlier = jnp.any(
-                    dup & (k_idx[None, :, None] > k_idx[None, None, :]),
-                    axis=-1)
-                top_scores = jnp.where(alive & ~has_earlier, merged, NEG_INF)
-
-            # Reorder predictor state by parent, then advance where emitted.
-            par_state = jax.tree.map(lambda x: gather_parents(x, parent),
-                                     pstate)
-            par_ctx = gather_parents(ctx, parent)
-            stepped, stepped_ctx = self.predictor.step(
-                par_state, tok.reshape(batch * beam))
-            emit_flat = emit.reshape(batch * beam)
-            next_state = self._select_state(emit_flat, stepped, par_state)
-            next_ctx = jnp.where(emit_flat[:, None], stepped_ctx, par_ctx)
-            if lm is None:
-                return (new_tokens, new_n, top_scores, next_state,
-                        next_ctx), None
-            # LM states ride the beam exactly like predictor states.
-            par_lm = jax.tree.map(lambda x: gather_parents(x, parent),
-                                  lm_state)
-            par_lm_logp = gather_parents(lm_logp, parent)
-            stepped_lm, stepped_logp = lm.step(par_lm,
-                                               tok.reshape(batch * beam))
-            next_lm = self._select_state(emit_flat, stepped_lm, par_lm)
-            next_lm_logp = jnp.where(emit_flat[:, None], stepped_logp,
-                                     par_lm_logp)
-            return (new_tokens, new_n, top_scores, next_state, next_ctx,
-                    next_lm, next_lm_logp), None
-
-        init = (jnp.zeros((batch, beam, cap), jnp.int32),
-                jnp.zeros((batch, beam), jnp.int32),
-                jnp.where(jnp.arange(beam)[None, :] == 0, 0.0,
-                          NEG_INF).astype(jnp.float32)
-                * jnp.ones((batch, 1), jnp.float32),
-                pstate, ctx)
-        if lm is not None:
-            init = init + (lm_state, lm_logp)
         out_carry, _ = jax.lax.scan(step, init, jnp.arange(t_out))
         tokens, n_hyp, score = out_carry[:3]
         if merge_paths:
@@ -419,3 +366,134 @@ class MonotonicTransducer(nn.Module):
             n_hyp = jnp.take_along_axis(n_hyp, order, axis=1)
             score = jnp.take_along_axis(score, order, axis=1)
         return tokens, n_hyp, score
+
+    def _beam_init_carry(self, batch: int, beam: int, cap: int, lm):
+        """Fresh beam carry: (tokens, n_hyp, score, pstate, ctx[, lm...])."""
+        from ..ops.helpers import NEG_INF
+
+        assert self.cfg.vocab_size >= beam, \
+            "beam_size must not exceed the vocabulary"
+        pstate = self.predictor.init_state(batch * beam)
+        pstate, ctx = self.predictor.step(
+            pstate, jnp.zeros((batch * beam,), jnp.int32))   # consume BOS
+        init = (jnp.zeros((batch, beam, cap), jnp.int32),
+                jnp.zeros((batch, beam), jnp.int32),
+                jnp.where(jnp.arange(beam)[None, :] == 0, 0.0,
+                          NEG_INF).astype(jnp.float32)
+                * jnp.ones((batch, 1), jnp.float32),
+                pstate, ctx)
+        if lm is not None:
+            init = init + lm.step(
+                lm.init_state(batch * beam),
+                jnp.zeros((batch * beam,), jnp.int32))       # consume BOS
+        return init
+
+    def _beam_frame_step(self, carry, enc_t, active_b, *, beam, cap,
+                         merge_paths, lm, lm_weight):
+        """Advance the beam by one encoder frame.
+
+        carry: as built by _beam_init_carry; enc_t [B, D] this frame's
+        encodings; active_b [B] bool — inactive samples are frozen (blank
+        forced at score 0, so the hypothesis set is unchanged). Shared by
+        beam_search_decode (scan over the utterance) and
+        streaming_beam_step (scan over a chunk's emitted frames).
+        """
+        from ..ops.helpers import NEG_INF
+
+        vocab = self.cfg.vocab_size
+        blank = self.cfg.blank_id
+        v_idx = jnp.arange(vocab, dtype=jnp.int32)
+        frozen_logp = jnp.where(v_idx == blank, 0.0,
+                                NEG_INF).astype(jnp.float32)
+        if lm is None:
+            tokens, n_hyp, score, pstate, ctx = carry
+        else:
+            tokens, n_hyp, score, pstate, ctx, lm_state, lm_logp = carry
+        batch = tokens.shape[0]
+        enc_dim = enc_t.shape[-1]
+
+        def gather_parents(x, parent):
+            """Reorder [B*K, ...] leaves by the beam's parent indices."""
+            xk = x.reshape(batch, beam, *x.shape[1:])
+            idx = parent.reshape(batch, beam,
+                                 *([1] * (x.ndim - 1)))
+            out = jnp.take_along_axis(xk, idx, axis=1)
+            return out.reshape(batch * beam, *x.shape[1:])
+
+        enc_bk = jnp.broadcast_to(
+            enc_t[:, None, None], (batch, beam, 1, enc_dim)).reshape(
+                batch * beam, 1, enc_dim)
+        logits = self.joint(enc_bk, ctx[:, None, :])[:, 0, 0, :]
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        logp = logp.reshape(batch, beam, vocab)
+        if lm is not None:
+            # Shallow fusion on label candidates only: blank keeps the
+            # hypothesis, so the label-sequence LM has nothing to say.
+            fuse = jnp.where(v_idx[None, None, :] == blank, 0.0,
+                             lm_weight
+                             * lm_logp.reshape(batch, beam, vocab))
+            logp = logp + fuse
+        logp = jnp.where(active_b[:, None, None], logp,
+                         frozen_logp[None, None, :])
+
+        cand = score[:, :, None] + logp              # [B,K,V]
+        full = (n_hyp >= cap)[:, :, None] & (v_idx != blank)[None, None]
+        cand = jnp.where(full, NEG_INF, cand)
+        top_scores, top_idx = jax.lax.top_k(
+            cand.reshape(batch, beam * vocab), beam)
+        parent = top_idx // vocab                    # [B,K]
+        tok = (top_idx % vocab).astype(jnp.int32)
+
+        par_tokens = jnp.take_along_axis(tokens, parent[:, :, None],
+                                         axis=1)
+        par_n = jnp.take_along_axis(n_hyp, parent, axis=1)
+        # Dead beams (score -inf, e.g. fewer finite candidates than
+        # beam_size) must not fabricate tokens: only finite-scoring
+        # non-blank selections emit.
+        emit = (tok != blank) & (top_scores > NEG_INF)
+        slot = jnp.arange(cap, dtype=jnp.int32)[None, None, :]
+        new_tokens = jnp.where(
+            emit[:, :, None] & (slot == par_n[:, :, None]),
+            tok[:, :, None], par_tokens)
+        new_n = par_n + emit.astype(jnp.int32)
+
+        if merge_paths:
+            # Hypotheses with identical label sequences are in identical
+            # model state (same predictor history, same frame): merge
+            # exactly by summing probabilities into the lowest-index
+            # representative and killing the duplicates.
+            alive = top_scores > NEG_INF
+            dup = (new_n[:, :, None] == new_n[:, None, :]) & jnp.all(
+                new_tokens[:, :, None] == new_tokens[:, None, :],
+                axis=-1)
+            dup = dup & alive[:, :, None] & alive[:, None, :]
+            group = jnp.where(dup, top_scores[:, None, :], NEG_INF)
+            merged = jax.nn.logsumexp(group, axis=-1)
+            k_idx = jnp.arange(beam)
+            has_earlier = jnp.any(
+                dup & (k_idx[None, :, None] > k_idx[None, None, :]),
+                axis=-1)
+            top_scores = jnp.where(alive & ~has_earlier, merged, NEG_INF)
+
+        # Reorder predictor state by parent, then advance where emitted.
+        par_state = jax.tree.map(lambda x: gather_parents(x, parent),
+                                 pstate)
+        par_ctx = gather_parents(ctx, parent)
+        stepped, stepped_ctx = self.predictor.step(
+            par_state, tok.reshape(batch * beam))
+        emit_flat = emit.reshape(batch * beam)
+        next_state = self._select_state(emit_flat, stepped, par_state)
+        next_ctx = jnp.where(emit_flat[:, None], stepped_ctx, par_ctx)
+        if lm is None:
+            return (new_tokens, new_n, top_scores, next_state, next_ctx)
+        # LM states ride the beam exactly like predictor states.
+        par_lm = jax.tree.map(lambda x: gather_parents(x, parent),
+                              lm_state)
+        par_lm_logp = gather_parents(lm_logp, parent)
+        stepped_lm, stepped_logp = lm.step(par_lm,
+                                           tok.reshape(batch * beam))
+        next_lm = self._select_state(emit_flat, stepped_lm, par_lm)
+        next_lm_logp = jnp.where(emit_flat[:, None], stepped_logp,
+                                 par_lm_logp)
+        return (new_tokens, new_n, top_scores, next_state, next_ctx,
+                next_lm, next_lm_logp)

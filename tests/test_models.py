@@ -229,6 +229,56 @@ def test_streaming_decode_matches_full_greedy():
             toks, np.asarray(hyp_full)[b][:int(n_full[b])])
 
 
+def test_streaming_beam_matches_full_beam():
+    """Chunked streaming beam search (+LM fusion) == full-utterance beam.
+
+    The carried beam advances with the identical frame step, so tokens,
+    lengths, AND scores must match exactly.
+    """
+    from monotonic_rnnt_tpu.models.conformer import streaming_lookback
+    from monotonic_rnnt_tpu.models.lm import BigramLm
+
+    cfg = TransducerConfig(
+        encoder=ConformerConfig(num_layers=2, dim=64, num_heads=2,
+                                dropout=0.0, causal=True,
+                                attn_left_context=4, conv_kernel=7,
+                                dtype=jnp.float32),
+        predictor=PredictorConfig(vocab_size=32, dim=64, embed_dim=32,
+                                  dtype=jnp.float32),
+        joint_dim=64, vocab_size=32, dtype=jnp.float32)
+    model = MonotonicTransducer(cfg)
+
+    B, T, F, C, ML, K = 2, 128, 16, 16, 10, 4
+    rng = np.random.RandomState(7)
+    feats = jnp.asarray(rng.randn(B, T, F).astype(np.float32))
+    flen = jnp.asarray([T, T - 13], jnp.int32)
+    labels = jnp.asarray(rng.randint(1, 32, (B, 4)).astype(np.int32))
+    slen = jnp.full((B,), 4, jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), feats, flen, labels, slen)
+    lm = BigramLm(jax.nn.log_softmax(
+        jnp.asarray(rng.randn(32, 32).astype(np.float32)), axis=-1))
+
+    tok_f, n_f, s_f = jax.jit(lambda p, f, fl: model.apply(
+        p, f, fl, ML, K, True, False, lm, 0.5,
+        method=MonotonicTransducer.beam_search_decode))(params, feats, flen)
+
+    lookback = streaming_lookback(cfg.encoder)
+    assert T > lookback
+    state = model.apply(params, B, F, lookback, ML, K, lm,
+                        method="streaming_beam_init")
+    step = jax.jit(lambda p, st, ch, cv: model.apply(
+        p, st, ch, cv, lm, 0.5, method="streaming_beam_step"))
+    for i in range(0, T, C):
+        cv = jnp.clip(flen - i, 0, C)
+        state, (tok_s, n_s, s_s) = step(params, state, feats[:, i:i + C],
+                                        cv)
+
+    np.testing.assert_array_equal(np.asarray(tok_s), np.asarray(tok_f))
+    np.testing.assert_array_equal(np.asarray(n_s), np.asarray(n_f))
+    np.testing.assert_allclose(np.asarray(s_s), np.asarray(s_f), rtol=1e-5,
+                               atol=1e-5)
+
+
 def test_greedy_decode_shapes():
     cfg = _tiny_cfg()
     model = MonotonicTransducer(cfg)
