@@ -1,6 +1,7 @@
 """Model family tests: Conformer-transducer forward, train step, decode."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -172,12 +173,14 @@ def test_tp_banded_train_step_matches_oracle():
                                    atol=2e-5)
 
 
-def test_streaming_decode_matches_full_greedy():
+@pytest.mark.parametrize("predictor_kind", ["lstm", "conv"])
+def test_streaming_decode_matches_full_greedy(predictor_kind):
     """Chunked streaming inference == full-utterance greedy decode, exactly.
 
     Causal encoder with bounded attention window; the streaming state
     carries a streaming_lookback-sized raw-frame history, so every emitted
-    frame's receptive field is fully inside the recompute window.
+    frame's receptive field is fully inside the recompute window. Both
+    predictor families (LSTM carry / conv token ring) stream statefully.
     """
     from monotonic_rnnt_tpu.models.conformer import streaming_lookback
 
@@ -188,7 +191,8 @@ def test_streaming_decode_matches_full_greedy():
                                 dtype=jnp.float32),
         predictor=PredictorConfig(vocab_size=32, dim=64, embed_dim=32,
                                   dtype=jnp.float32),
-        joint_dim=64, vocab_size=32, dtype=jnp.float32)
+        joint_dim=64, vocab_size=32, dtype=jnp.float32,
+        predictor_kind=predictor_kind)
     model = MonotonicTransducer(cfg)
 
     # T must exceed the lookback (88 frames for this config) so the window
@@ -461,6 +465,61 @@ def test_beam_search_lm_fusion_biases_labels():
         emitted = tok[b, 0][:n[b, 0]]
         assert (emitted == 5).all(), f"LM bias ignored: {emitted}"
     assert np.all(np.isfinite(np.asarray(score[:, 0])))
+
+
+def test_lstm_lm_stepwise_matches_teacher_forced():
+    """LstmLm.step unrolled == LstmLm.__call__ (same BOS-shifted contract)."""
+    from monotonic_rnnt_tpu.models.lm import LstmLm, LstmLmConfig
+
+    lm_mod = LstmLm(LstmLmConfig(vocab_size=32, dim=32, embed_dim=16,
+                                 dtype=jnp.float32))
+    rng = np.random.RandomState(0)
+    tokens = jnp.asarray(rng.randint(1, 32, (3, 5)).astype(np.int32))
+    variables = lm_mod.init(jax.random.PRNGKey(0), tokens)
+
+    batched = lm_mod.apply(variables, tokens)              # [B, S, V]
+
+    state = lm_mod.apply(variables, 3, method="init_state")
+    hist = jnp.concatenate([jnp.zeros((3, 1), jnp.int32), tokens[:, :-1]],
+                           axis=1)
+    for i in range(5):
+        state, logp = lm_mod.apply(variables, state, hist[:, i],
+                                   method="step")
+        np.testing.assert_allclose(np.asarray(logp),
+                                   np.asarray(batched[:, i]), rtol=1e-5,
+                                   atol=1e-6)
+
+
+def test_beam_search_neural_lm_adapter():
+    """A flax LSTM LM rides the beam through FlaxLmAdapter; weight 0 is an
+    exact identity and a positive weight runs (finite scores)."""
+    from monotonic_rnnt_tpu.models.lm import (FlaxLmAdapter, LstmLm,
+                                              LstmLmConfig)
+
+    cfg = _tiny_cfg()
+    model = MonotonicTransducer(cfg)
+    feats, flen, labels, slen = (jnp.asarray(a) for a in tiny_batch(
+        batch=2, t=24, feat_dim=16, s=4, vocab=32))
+    params = model.init(jax.random.PRNGKey(4), feats, flen, labels, slen)
+
+    lm_mod = LstmLm(LstmLmConfig(vocab_size=32, dim=32, embed_dim=16,
+                                 dtype=jnp.float32))
+    lm_vars = lm_mod.init(jax.random.PRNGKey(5), labels)
+    lm = FlaxLmAdapter(lm_mod, lm_vars)
+
+    def decode(**kw):
+        return jax.jit(lambda p, f, l: model.apply(
+            p, f, l, 6, 4, True, False,
+            method=MonotonicTransducer.beam_search_decode, **kw))(
+                params, feats, flen)
+
+    tok0, n0, s0 = decode()
+    tok1, n1, s1 = decode(lm=lm, lm_weight=0.0)
+    np.testing.assert_array_equal(np.asarray(tok0), np.asarray(tok1))
+    np.testing.assert_allclose(np.asarray(s0), np.asarray(s1), rtol=1e-6)
+
+    _, _, s2 = decode(lm=lm, lm_weight=0.7)
+    assert np.all(np.isfinite(np.asarray(s2[:, 0])))
 
 
 def test_beam_search_dead_beams_do_not_fabricate():
