@@ -201,3 +201,31 @@ def monotonic_rnnt_loss_banded(
         tf.convert_to_tensor(label_lengths, tf.int32),
         tf.convert_to_tensor(band_min, tf.int32),
         tf.convert_to_tensor(band_max, tf.int32))
+
+
+def make_tf_greedy_decoder(model, max_labels: int):
+    """TF-graph greedy decoder for the transducer model family (via jax2tf).
+
+    Returns fn(params, feats [B,T,F], feat_lengths [B]) -> (hyp [B,
+    max_labels], hyp_lengths [B]) as a native TF computation — wrap it in a
+    tf.function / tf.Module with the params as tf.Variables to export a
+    SavedModel for TF Serving. Multi-platform (cpu+tpu) lowering; the
+    decode path is pure XLA so one module serves both.
+    """
+    _require_tf()
+    from jax.experimental import jax2tf
+
+    def fn(params, feats, feat_lengths):
+        return model.apply(params, feats, feat_lengths, max_labels,
+                           method="greedy_decode")
+
+    conv = jax2tf.convert(fn, native_serialization_platforms=("cpu", "tpu"))
+
+    def tf_fn(params, feats, feat_lengths):
+        import jax
+
+        return conv(jax.tree.map(tf.convert_to_tensor, params),
+                    tf.convert_to_tensor(feats),
+                    tf.convert_to_tensor(feat_lengths, tf.int32))
+
+    return tf_fn

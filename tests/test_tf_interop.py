@@ -170,3 +170,37 @@ def test_tf_banded_padded_matches_jax():
     np.testing.assert_allclose(float(total), float(val), rtol=1e-5)
     np.testing.assert_allclose(g_tf.numpy(), np.asarray(g), rtol=1e-4,
                                atol=1e-6)
+
+
+def test_tf_greedy_decoder_matches_jax():
+    """jax2tf greedy decoder == JAX greedy decode (eager and tf.function)."""
+    import jax
+    from monotonic_rnnt_tpu.data.synthetic import tiny_batch
+    from monotonic_rnnt_tpu.interop.tf_binding import make_tf_greedy_decoder
+    from monotonic_rnnt_tpu.models.conformer import ConformerConfig
+    from monotonic_rnnt_tpu.models.predictor import PredictorConfig
+    from monotonic_rnnt_tpu.models.transducer import (MonotonicTransducer,
+                                                      TransducerConfig)
+
+    cfg = TransducerConfig(
+        encoder=ConformerConfig(num_layers=1, dim=64, num_heads=2,
+                                dropout=0.0),
+        predictor=PredictorConfig(vocab_size=32, dim=64, embed_dim=32),
+        joint_dim=64, vocab_size=32)
+    model = MonotonicTransducer(cfg)
+    feats, flen, labels, slen = (jnp.asarray(a) for a in tiny_batch(
+        batch=2, t=32, feat_dim=16, s=4, vocab=32))
+    params = model.init(jax.random.PRNGKey(0), feats, flen, labels, slen)
+
+    ref_hyp, ref_n = jax.jit(lambda p, f, fl: model.apply(
+        p, f, fl, 6, method="greedy_decode"))(params, feats, flen)
+
+    decoder = make_tf_greedy_decoder(model, 6)
+    hyp, n = decoder(params, np.asarray(feats), np.asarray(flen))
+    np.testing.assert_array_equal(hyp.numpy(), np.asarray(ref_hyp))
+    np.testing.assert_array_equal(n.numpy(), np.asarray(ref_n))
+
+    graph_decoder = tf.function(decoder)
+    hyp_g, n_g = graph_decoder(params, np.asarray(feats), np.asarray(flen))
+    np.testing.assert_array_equal(hyp_g.numpy(), np.asarray(ref_hyp))
+    np.testing.assert_array_equal(n_g.numpy(), np.asarray(ref_n))
