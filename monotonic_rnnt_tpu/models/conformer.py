@@ -28,6 +28,7 @@ class ConformerConfig:
     dropout: float = 0.1
     causal: bool = False            # streaming mode: no future context
     attn_left_context: int = -1     # causal attention window (-1 = all past)
+    remat: bool = False             # rematerialize blocks in the backward
     dtype: jnp.dtype = jnp.bfloat16  # compute dtype; params stay f32
 
 
@@ -212,6 +213,16 @@ class ConformerEncoder(nn.Module):
         pad_mask = (jnp.arange(t_out)[None, :]
                     < out_lengths[:, None]).astype(jnp.bool_)
         x = x * pad_mask[..., None].astype(x.dtype)
-        for _ in range(cfg.num_layers):
-            x = ConformerBlock(cfg)(x, pad_mask, deterministic)
+        # remat trades ~1 extra forward of each block for not storing its
+        # activations across the backward — the jax.checkpoint lever for
+        # fitting longer utterances / bigger batches (static_argnums: the
+        # deterministic flag is a Python bool, not a tracer).
+        block_cls = (nn.remat(ConformerBlock, static_argnums=(3,))
+                     if cfg.remat else ConformerBlock)
+        for i in range(cfg.num_layers):
+            # Explicit names: nn.remat would otherwise prefix the module
+            # path ("CheckpointConformerBlock_i"), silently breaking
+            # checkpoint compatibility between remat on/off.
+            x = block_cls(cfg, name=f"ConformerBlock_{i}")(
+                x, pad_mask, deterministic)
         return x.astype(jnp.float32), out_lengths

@@ -283,6 +283,31 @@ def test_streaming_beam_matches_full_beam():
                                atol=1e-5)
 
 
+def test_remat_encoder_same_loss_and_grads():
+    """cfg.encoder.remat=True changes memory, not math: identical grads."""
+    import dataclasses
+
+    base = _tiny_cfg()
+    batch = tuple(jnp.asarray(a) for a in tiny_batch(
+        batch=2, t=32, feat_dim=16, s=4, vocab=32))
+    feats, flen, labels, slen = batch
+
+    def loss_and_grads(cfg):
+        model = MonotonicTransducer(cfg)
+        params = model.init(jax.random.PRNGKey(0), feats, flen, labels,
+                            slen)
+        return jax.jit(jax.value_and_grad(lambda p: jnp.mean(model.apply(
+            p, feats, flen, labels, slen))))(params)
+
+    v0, g0 = loss_and_grads(base)
+    v1, g1 = loss_and_grads(dataclasses.replace(
+        base, encoder=dataclasses.replace(base.encoder, remat=True)))
+    np.testing.assert_allclose(float(v0), float(v1), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5,
+                                   atol=1e-6)
+
+
 def test_greedy_decode_shapes():
     cfg = _tiny_cfg()
     model = MonotonicTransducer(cfg)
