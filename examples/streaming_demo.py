@@ -61,9 +61,11 @@ def main(argv=None):
     state = create_train_state(cfg, jax.random.PRNGKey(0), batch,
                                learning_rate=3e-3, warmup_steps=1)
     step = jax.jit(train_step)
+    metrics = None
     for _ in range(args.steps):
         state, metrics = step(state, batch)
-    print(f"final loss {float(metrics['loss']):.4f}")
+    if metrics is not None:
+        print(f"final loss {float(metrics['loss']):.4f}")
     params = {"params": state.params}
 
     hyp_full, n_full = jax.jit(lambda p, f, fl: model.apply(

@@ -157,21 +157,26 @@ class MonotonicTransducer(nn.Module):
         with conformer.streaming_lookback(cfg.encoder); must be a multiple
         of the subsample factor. The state is a pytree (jit/scan friendly).
         """
+        pstate = self.predictor.init_state(batch)
+        pstate, ctx = self.predictor.step(
+            pstate, jnp.zeros((batch,), jnp.int32))     # consume BOS
+        return dict(
+            self._stream_state_base(batch, feat_dim, lookback),
+            pstate=pstate, ctx=ctx,
+            hyp=jnp.zeros((batch, max_labels), jnp.int32),
+            n_hyp=jnp.zeros((batch,), jnp.int32),
+        )
+
+    def _stream_state_base(self, batch: int, feat_dim: int, lookback: int):
+        """Shared frame-window state (buffer / n_seen / valid) + validation."""
         sub = self.cfg.encoder.subsample_factor
         if lookback % sub:
             raise ValueError(f"lookback {lookback} not a multiple of the "
                              f"subsample factor {sub}")
-        pstate = self.predictor.init_state(batch)
-        pstate, ctx = self.predictor.step(
-            pstate, jnp.zeros((batch,), jnp.int32))     # consume BOS
         return {
             "buffer": jnp.zeros((batch, lookback, feat_dim), jnp.float32),
             "n_seen": jnp.zeros((), jnp.int32),          # frames pushed
             "valid": jnp.zeros((batch,), jnp.int32),     # true frames
-            "pstate": pstate,
-            "ctx": ctx,
-            "hyp": jnp.zeros((batch, max_labels), jnp.int32),
-            "n_hyp": jnp.zeros((batch,), jnp.int32),
         }
 
     def _stream_window(self, state, feat_chunk, chunk_valid):
@@ -271,16 +276,10 @@ class MonotonicTransducer(nn.Module):
         per-hypothesis LM states for shallow fusion; pass the same lm to
         every streaming_beam_step.
         """
-        sub = self.cfg.encoder.subsample_factor
-        if lookback % sub:
-            raise ValueError(f"lookback {lookback} not a multiple of the "
-                             f"subsample factor {sub}")
-        return {
-            "buffer": jnp.zeros((batch, lookback, feat_dim), jnp.float32),
-            "n_seen": jnp.zeros((), jnp.int32),
-            "valid": jnp.zeros((batch,), jnp.int32),
-            "beam": self._beam_init_carry(batch, beam_size, max_labels, lm),
-        }
+        return dict(
+            self._stream_state_base(batch, feat_dim, lookback),
+            beam=self._beam_init_carry(batch, beam_size, max_labels, lm),
+        )
 
     def streaming_beam_step(self, state, feat_chunk, chunk_valid=None,
                             lm=None, lm_weight: float = 0.0,
@@ -405,6 +404,11 @@ class MonotonicTransducer(nn.Module):
         v_idx = jnp.arange(vocab, dtype=jnp.int32)
         frozen_logp = jnp.where(v_idx == blank, 0.0,
                                 NEG_INF).astype(jnp.float32)
+        if len(carry) != (7 if lm is not None else 5):
+            raise ValueError(
+                f"beam carry has {len(carry)} elements but lm is "
+                f"{'set' if lm is not None else 'None'} — pass the same "
+                f"`lm` to the init and to every step")
         if lm is None:
             tokens, n_hyp, score, pstate, ctx = carry
         else:
@@ -426,9 +430,12 @@ class MonotonicTransducer(nn.Module):
         logits = self.joint(enc_bk, ctx[:, None, :])[:, 0, 0, :]
         logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
         logp = logp.reshape(batch, beam, vocab)
-        if lm is not None:
+        if lm is not None and lm_weight != 0.0:
             # Shallow fusion on label candidates only: blank keeps the
             # hypothesis, so the label-sequence LM has nothing to say.
+            # Skipped entirely at weight 0 — lm_logp may contain -inf
+            # (forbidden continuations), and 0 * -inf is NaN, which would
+            # silently corrupt the beam instead of being an exact identity.
             fuse = jnp.where(v_idx[None, None, :] == blank, 0.0,
                              lm_weight
                              * lm_logp.reshape(batch, beam, vocab))

@@ -469,6 +469,33 @@ def test_beam_search_lm_fusion_zero_weight_is_identity():
     np.testing.assert_allclose(np.asarray(s0), np.asarray(s1), rtol=1e-6)
 
 
+def test_beam_search_lm_fusion_zero_weight_with_inf_lm():
+    """lm_weight=0 stays an exact identity even when the LM table contains
+    -inf entries (0 * -inf would be NaN if fusion weren't skipped)."""
+    from monotonic_rnnt_tpu.models.lm import BigramLm
+
+    cfg = _tiny_cfg()
+    model = MonotonicTransducer(cfg)
+    feats, flen, labels, slen = (jnp.asarray(a) for a in tiny_batch(
+        batch=2, t=24, feat_dim=16, s=4, vocab=32))
+    params = model.init(jax.random.PRNGKey(6), feats, flen, labels, slen)
+    # Sparse-count LM: most bigrams forbidden (-inf), as log(counts) gives.
+    lm = BigramLm(jnp.where(jnp.arange(32)[None, :] < 3, jnp.log(1 / 3.0),
+                            -jnp.inf) * jnp.ones((32, 1)))
+
+    def decode(**kw):
+        return jax.jit(lambda p, f, l: model.apply(
+            p, f, l, 6, 4, True, False,
+            method=MonotonicTransducer.beam_search_decode, **kw))(
+                params, feats, flen)
+
+    tok0, n0, s0 = decode()
+    tok1, n1, s1 = decode(lm=lm, lm_weight=0.0)
+    np.testing.assert_array_equal(np.asarray(tok0), np.asarray(tok1))
+    np.testing.assert_allclose(np.asarray(s0), np.asarray(s1), rtol=1e-6)
+    assert np.all(np.isfinite(np.asarray(s1[:, 0])))
+
+
 def test_beam_search_lm_fusion_biases_labels():
     """A strongly-weighted LM that only allows token 5 dominates emissions,
     and the fused score accounts for the LM terms."""
