@@ -320,6 +320,69 @@ def make_tp_sharded_train_step(mesh: Mesh, model: MonotonicTransducer,
     return jax.jit(step, donate_argnums=(0,))
 
 
+def make_grad_accum_train_step(n_micro: int, mesh: Mesh = None):
+    """Train step that accumulates gradients over n_micro microbatches.
+
+    The production lever for effective batch sizes beyond device memory:
+    the batch splits into n_micro equal slices, a lax.scan runs
+    value_and_grad per slice accumulating the mean, and ONE optimizer
+    update applies at the end — bitwise the same parameter update as a
+    single step whose loss averages over the whole batch (up to fp
+    summation order). Peak activation memory is one microbatch's.
+
+    With mesh set, the step is additionally jitted with the batch sharded
+    over 'data' and params replicated (the make_sharded_train_step
+    layout); each microbatch slice keeps the same sharding.
+
+    Returns step(state, batch) -> (state, metrics); batch dims must divide
+    by n_micro (and by the mesh's data axis when sharded).
+    """
+    def step(state: TrainState, batch):
+        feats, feat_lengths, labels, label_lengths = batch
+        total = feats.shape[0]
+        if total % n_micro:
+            raise ValueError(f"batch {total} not divisible by "
+                             f"n_micro {n_micro}")
+        m = total // n_micro
+        micro = jax.tree.map(
+            lambda x: x.reshape(n_micro, m, *x.shape[1:]), batch)
+        step_rng = jax.random.fold_in(state.dropout_rng, state.step)
+
+        def loss_fn(params, mb, rng):
+            mfeats, mflen, mlabels, mslen = mb
+            costs = state.apply_fn({"params": params}, mfeats, mflen,
+                                   mlabels, mslen, deterministic=False,
+                                   rngs={"dropout": rng})
+            return jnp.mean(costs)
+
+        def accum(carry, xs):
+            loss_acc, grad_acc = carry
+            mb, i = xs
+            rng = jax.random.fold_in(step_rng, i)
+            loss, grads = jax.value_and_grad(loss_fn)(state.params, mb, rng)
+            return (loss_acc + loss / n_micro,
+                    jax.tree.map(lambda a, g: a + g / n_micro, grad_acc,
+                                 grads)), None
+
+        init = (jnp.float32(0),
+                jax.tree.map(jnp.zeros_like, state.params))
+        (loss, grads), _ = jax.lax.scan(
+            accum, init, (micro, jnp.arange(n_micro)))
+        new_state = state.apply_gradients(grads=grads)
+        metrics = {"loss": loss, "grad_norm": optax.global_norm(grads),
+                   "step": state.step}
+        return new_state, metrics
+
+    if mesh is None:
+        return jax.jit(step, donate_argnums=(0,))
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P(DATA_AXIS))
+    return jax.jit(step,
+                   in_shardings=(repl, (data, data, data, data)),
+                   out_shardings=(repl, repl),
+                   donate_argnums=(0,))
+
+
 def make_sharded_train_step(mesh: Mesh):
     """jit train_step with batch sharded over 'data', params replicated.
 

@@ -233,6 +233,37 @@ def test_streaming_decode_matches_full_greedy(predictor_kind):
             toks, np.asarray(hyp_full)[b][:int(n_full[b])])
 
 
+def test_grad_accum_matches_single_step():
+    """Accumulating over microbatches == one full-batch step (same update)."""
+    from monotonic_rnnt_tpu.models.train import make_grad_accum_train_step
+
+    cfg = _tiny_cfg()
+    batch = tuple(jnp.asarray(a) for a in tiny_batch(
+        batch=8, t=32, feat_dim=16, s=4, vocab=32))
+    state_a = create_train_state(cfg, jax.random.PRNGKey(0), batch,
+                                 learning_rate=3e-3, warmup_steps=1)
+    state_b = create_train_state(cfg, jax.random.PRNGKey(0), batch,
+                                 learning_rate=3e-3, warmup_steps=1)
+
+    state_a, m_a = jax.jit(train_step)(state_a, batch)
+    accum_step = make_grad_accum_train_step(4)
+    state_b, m_b = accum_step(state_b, batch)
+
+    np.testing.assert_allclose(float(m_b["loss"]), float(m_a["loss"]),
+                               rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(state_a.params),
+                    jax.tree.leaves(state_b.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4,
+                                   atol=2e-5)
+
+    # Sharded variant compiles and descends on the virtual mesh.
+    mesh = make_mesh(data=8, model=1)
+    state_c = create_train_state(cfg, jax.random.PRNGKey(0), batch)
+    step_c = make_grad_accum_train_step(2, mesh)
+    state_c, m_c = step_c(state_c, batch)
+    assert np.isfinite(float(m_c["loss"]))
+
+
 def test_streaming_beam_matches_full_beam():
     """Chunked streaming beam search (+LM fusion) == full-utterance beam.
 
