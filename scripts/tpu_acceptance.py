@@ -232,6 +232,115 @@ def main(argv=None):
     check("banded fused scan multi-t-block carry (compiled)",
           fwdbwd_multi_block)
 
+    def fused_joint_parity():
+        # Memory-efficient fused-joint loss vs the monolithic oracle:
+        # loss AND all gradients (enc, pred, joint params), compiled.
+        from monotonic_rnnt_tpu import monotonic_rnnt_loss
+        from monotonic_rnnt_tpu.ops.chunked import rnnt_loss_fused_joint
+
+        rng = np.random.RandomState(11)
+        B, T, S, V, De, Dp, H = 3, 24, 6, 128, 8, 7, 12
+        enc = jnp.asarray(rng.randn(B, T, De).astype(np.float32))
+        pred = jnp.asarray(rng.randn(B, S + 1, Dp).astype(np.float32))
+        labels = jnp.asarray(rng.randint(1, V, (B, S)).astype(np.int32))
+        il = jnp.asarray(rng.randint(S + 1, T + 1, (B,)).astype(np.int32))
+        sl = jnp.asarray(rng.randint(1, S + 1, (B,)).astype(np.int32))
+        params = {
+            "we": jnp.asarray(rng.randn(De, H).astype(np.float32) * .5),
+            "wp": jnp.asarray(rng.randn(Dp, H).astype(np.float32) * .5),
+            "wv": jnp.asarray(rng.randn(H, V).astype(np.float32) * .5),
+        }
+
+        def joint(p, e_c, pr):
+            return jnp.tanh((e_c @ p["we"])[:, :, None, :]
+                            + (pr @ p["wp"])[:, None, :, :]) @ p["wv"]
+
+        def fused(e_, p_, pr):
+            return jnp.sum(rnnt_loss_fused_joint(
+                e_, p_, labels, il, sl, joint, pr, chunk_t=8))
+
+        def mono(e_, p_, pr):
+            return jnp.sum(monotonic_rnnt_loss(
+                joint(pr, e_, p_), labels, il, sl, backend="reference"))
+
+        vf, gf = jax.jit(jax.value_and_grad(fused, argnums=(0, 1, 2)))(
+            enc, pred, params)
+        vm, gm = jax.jit(jax.value_and_grad(mono, argnums=(0, 1, 2)))(
+            enc, pred, params)
+        assert abs(float(vf) - float(vm)) < 1e-3 * (1 + abs(float(vm))), \
+            (float(vf), float(vm))
+        for a, b in zip(jax.tree.leaves(gf), jax.tree.leaves(gm)):
+            # Relative: both paths push dlogits through the same joint VJP
+            # matmuls at TPU default precision; absolute error scales with
+            # the gradient magnitude.
+            err = float(jnp.max(jnp.abs(a - b)))
+            scale = float(jnp.max(jnp.abs(b))) + 1.0
+            assert err < 2e-3 * scale, (err, scale)
+
+    check("fused-joint loss parity (loss + enc/pred/param grads)",
+          fused_joint_parity)
+
+    def streaming_exactness():
+        # Chunked streaming (greedy AND beam+LM) == full-utterance decode,
+        # compiled on the chip. Exercises window truncation (T > lookback).
+        from monotonic_rnnt_tpu.data.synthetic import tiny_batch
+        from monotonic_rnnt_tpu.models.conformer import (ConformerConfig,
+                                                         streaming_lookback)
+        from monotonic_rnnt_tpu.models.lm import BigramLm
+        from monotonic_rnnt_tpu.models.predictor import PredictorConfig
+        from monotonic_rnnt_tpu.models.transducer import (
+            MonotonicTransducer, TransducerConfig)
+
+        cfg = TransducerConfig(
+            encoder=ConformerConfig(num_layers=2, dim=64, num_heads=2,
+                                    dropout=0.0, causal=True,
+                                    attn_left_context=4, conv_kernel=7,
+                                    dtype=jnp.float32),
+            predictor=PredictorConfig(vocab_size=32, dim=64, embed_dim=32,
+                                      dtype=jnp.float32),
+            joint_dim=64, vocab_size=32, dtype=jnp.float32)
+        model = MonotonicTransducer(cfg)
+        B, T, F, C, ML, K = 2, 128, 16, 16, 10, 4
+        rng = np.random.RandomState(3)
+        feats = jnp.asarray(rng.randn(B, T, F).astype(np.float32))
+        flen = jnp.asarray([T, T - 13], jnp.int32)
+        labels = jnp.asarray(rng.randint(1, 32, (B, 4)).astype(np.int32))
+        slen = jnp.full((B,), 4, jnp.int32)
+        params = model.init(jax.random.PRNGKey(0), feats, flen, labels,
+                            slen)
+        lm = BigramLm(jax.nn.log_softmax(
+            jnp.asarray(rng.randn(32, 32).astype(np.float32)), axis=-1))
+        lookback = streaming_lookback(cfg.encoder)
+        assert T > lookback
+
+        hyp_f, n_f = jax.jit(lambda p, f, fl: model.apply(
+            p, f, fl, ML, method="greedy_decode"))(params, feats, flen)
+        st = model.apply(params, B, F, lookback, ML,
+                         method="streaming_init")
+        sstep = jax.jit(lambda p, s_, ch, cv: model.apply(
+            p, s_, ch, cv, method="streaming_step"))
+        tok_bf, n_bf, s_bf = jax.jit(lambda p, f, fl: model.apply(
+            p, f, fl, ML, K, True, False, lm, 0.5,
+            method=MonotonicTransducer.beam_search_decode))(
+                params, feats, flen)
+        bst = model.apply(params, B, F, lookback, ML, K, lm,
+                          method="streaming_beam_init")
+        bstep = jax.jit(lambda p, s_, ch, cv: model.apply(
+            p, s_, ch, cv, lm, 0.5, method="streaming_beam_step"))
+        for i in range(0, T, C):
+            cv = jnp.clip(flen - i, 0, C)
+            st, _ = sstep(params, st, feats[:, i:i + C], cv)
+            bst, (tok_s, n_s, s_s) = bstep(params, bst,
+                                           feats[:, i:i + C], cv)
+        assert np.array_equal(np.asarray(st["hyp"]), np.asarray(hyp_f))
+        assert np.array_equal(np.asarray(st["n_hyp"]), np.asarray(n_f))
+        assert np.array_equal(np.asarray(tok_s), np.asarray(tok_bf))
+        serr = float(np.max(np.abs(np.asarray(s_s) - np.asarray(s_bf))))
+        assert serr < 1e-4, serr
+
+    check("streaming greedy+beam(+LM) == full decode (compiled)",
+          streaming_exactness)
+
     if args.json_out:
         import json
 
