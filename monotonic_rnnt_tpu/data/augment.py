@@ -14,16 +14,17 @@ import jax
 import jax.numpy as jnp
 
 
-def _masks(key, batch: int, num: int, bound, max_width: int, size: int):
+def _masks(key, batch: int, num: int, bound, width_cap, size: int):
     """[B, size] bool — union of `num` random [start, start+width) bands.
 
     bound: [B] per-sample upper limit for mask placement (masks stay
-    inside [0, bound)); width ~ U{0..max_width}, start ~ U{0..bound-width}.
+    inside [0, bound)); width ~ U{0..width_cap[b]},
+    start ~ U{0..bound-width} inclusive (the last valid index is maskable).
     """
     kw, ks = jax.random.split(key)
-    widths = jax.random.randint(kw, (batch, num), 0, max_width + 1)
-    widths = jnp.minimum(widths, bound[:, None])
-    span = jnp.maximum(bound[:, None] - widths, 1)
+    widths = jax.random.randint(kw, (batch, num), 0, 1 << 30) \
+        % (width_cap[:, None] + 1)
+    span = jnp.maximum(bound[:, None] - widths + 1, 1)
     starts = (jax.random.randint(ks, (batch, num), 0, 1 << 30) % span)
     idx = jnp.arange(size, dtype=jnp.int32)[None, None, :]
     band = (idx >= starts[..., None]) & (idx < (starts + widths)[..., None])
@@ -31,27 +32,30 @@ def _masks(key, batch: int, num: int, bound, max_width: int, size: int):
 
 
 def spec_augment(key, feats, feat_lengths, *, num_time_masks: int = 2,
-                 max_time_width: int = 40, num_freq_masks: int = 2,
-                 max_freq_width: int = 27):
+                 max_time_width: int = 40, max_time_frac: float = 0.2,
+                 num_freq_masks: int = 2, max_freq_width: int = 27):
     """Apply SpecAugment to feats [B, T, F]; returns masked features.
 
-    Each sample gets `num_time_masks` zero bands of width U{0..max_time_width}
-    placed inside its valid frames, and `num_freq_masks` bands of width
-    U{0..max_freq_width} over the feature axis. Identity when all counts
-    are 0. Use a fresh key per step (fold_in the step index).
+    Each sample gets `num_time_masks` zero bands of width
+    U{0..min(max_time_width, max_time_frac * valid_frames)} placed inside
+    its valid frames — the proportional cap (Park et al.'s p·τ) keeps short
+    utterances from being masked away entirely — and `num_freq_masks` bands
+    of width U{0..max_freq_width} over the feature axis. Identity when all
+    counts are 0. Use a fresh key per step (fold_in the step index).
     """
     batch, t_max, feat_dim = feats.shape
     kt, kf = jax.random.split(jax.random.fold_in(key, 0))
     keep = jnp.ones((batch, t_max, 1), feats.dtype)
     if num_time_masks > 0:
-        tmask = _masks(kt, batch, num_time_masks,
-                       jnp.asarray(feat_lengths, jnp.int32),
-                       max_time_width, t_max)
+        flen = jnp.asarray(feat_lengths, jnp.int32)
+        cap = jnp.minimum(max_time_width,
+                          (max_time_frac * flen).astype(jnp.int32))
+        tmask = _masks(kt, batch, num_time_masks, flen, cap, t_max)
         keep = keep * (1.0 - tmask[:, :, None].astype(feats.dtype))
     out = feats * keep
     if num_freq_masks > 0:
-        fmask = _masks(kf, batch, num_freq_masks,
-                       jnp.full((batch,), feat_dim, jnp.int32),
-                       max_freq_width, feat_dim)
+        fdim = jnp.full((batch,), feat_dim, jnp.int32)
+        cap = jnp.minimum(max_freq_width, fdim)
+        fmask = _masks(kf, batch, num_freq_masks, fdim, cap, feat_dim)
         out = out * (1.0 - fmask[:, None, :].astype(feats.dtype))
     return out

@@ -326,16 +326,20 @@ def make_grad_accum_train_step(n_micro: int, mesh: Mesh = None):
     The production lever for effective batch sizes beyond device memory:
     the batch splits into n_micro equal slices, a lax.scan runs
     value_and_grad per slice accumulating the mean, and ONE optimizer
-    update applies at the end — bitwise the same parameter update as a
-    single step whose loss averages over the whole batch (up to fp
-    summation order). Peak activation memory is one microbatch's.
+    update applies at the end. With dropout disabled this is the same
+    parameter update as a single step whose loss averages over the whole
+    batch, up to fp summation order (tested); with dropout active each
+    microbatch folds its own rng, so masks — and therefore the update —
+    legitimately differ from the single-step ones. Peak activation memory
+    is one microbatch's.
 
     With mesh set, the step is additionally jitted with the batch sharded
     over 'data' and params replicated (the make_sharded_train_step
-    layout); each microbatch slice keeps the same sharding.
+    layout). GSPMD reshards each scan slice as needed; for zero-reshard
+    execution make batch/n_micro divisible by the data axis too.
 
     Returns step(state, batch) -> (state, metrics); batch dims must divide
-    by n_micro (and by the mesh's data axis when sharded).
+    by n_micro.
     """
     def step(state: TrainState, batch):
         feats, feat_lengths, labels, label_lengths = batch

@@ -335,6 +335,7 @@ def main(argv=None):
         assert np.array_equal(np.asarray(st["hyp"]), np.asarray(hyp_f))
         assert np.array_equal(np.asarray(st["n_hyp"]), np.asarray(n_f))
         assert np.array_equal(np.asarray(tok_s), np.asarray(tok_bf))
+        assert np.array_equal(np.asarray(n_s), np.asarray(n_bf))
         serr = float(np.max(np.abs(np.asarray(s_s) - np.asarray(s_bf))))
         assert serr < 1e-4, serr
 
