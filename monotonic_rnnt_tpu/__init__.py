@@ -28,7 +28,7 @@ from .ops.reference import rnnt_loss_reference
 from .utils.config import config_override, get_config, update_config
 from .utils.status import RnntError, Status
 
-__version__ = "0.2.0"
+__version__ = "0.3.0"
 
 __all__ = [
     "monotonic_rnnt_loss",
