@@ -77,6 +77,36 @@ def export_loss(example_logits, example_labels, example_input_lengths,
                      platforms)
 
 
+def export_banded_loss(example_logits_band, example_labels,
+                       example_input_lengths, example_label_lengths,
+                       example_band_min, example_band_max, *,
+                       blank_id: int = 0,
+                       platforms: Sequence[str] = ("tpu", "cpu")) -> bytes:
+    """Export the packed band-layout loss (costs + packed-layout dlogits).
+
+    The long-utterance serving artifact: takes the [B, T, W, V] band tensor
+    plus Bands arrays (ops/bands.py), returns (costs, dlogits_band) — e.g.
+    for alignment-restricted rescoring outside this package.
+    """
+    from .ops.banded import monotonic_rnnt_loss_banded
+    from .ops.bands import Bands
+
+    def fn(logits_band, labels, input_lengths, label_lengths, band_min,
+           band_max):
+        costs, vjp = jax.vjp(
+            lambda lb: monotonic_rnnt_loss_banded(
+                lb, labels, input_lengths, label_lengths,
+                bands=Bands(band_min, band_max), blank_id=blank_id,
+                backend="reference"),
+            logits_band)
+        grads, = vjp(jnp.ones_like(costs))
+        return costs, grads
+
+    return export_fn(fn, (example_logits_band, example_labels,
+                          example_input_lengths, example_label_lengths,
+                          example_band_min, example_band_max), platforms)
+
+
 def export_greedy_decoder(model, example_params, example_feats,
                           example_feat_lengths, max_labels: int,
                           platforms: Sequence[str] = ("tpu", "cpu")) -> bytes:

@@ -51,6 +51,44 @@ def test_export_shape_contract_enforced():
         fn(bad, labels[:2], ilen[:2], slen[:2])
 
 
+def test_export_banded_loss_roundtrip():
+    """Banded-loss artifact == live banded loss (costs + packed grads)."""
+    from monotonic_rnnt_tpu.ops.banded import monotonic_rnnt_loss_banded
+    from monotonic_rnnt_tpu.ops.bands import (Bands, bands_from_alignment,
+                                              compute_band_layout, pack_band,
+                                              required_band_width)
+    from monotonic_rnnt_tpu.serving import export_banded_loss
+
+    rng = np.random.RandomState(2)
+    b, t, s, v = 2, 14, 4, 9
+    logits = jnp.asarray(rng.randn(b, t, s + 1, v).astype(np.float32))
+    labels = jnp.asarray(rng.randint(1, v, (b, s)).astype(np.int32))
+    ilen = jnp.asarray([t, t - 3], jnp.int32)
+    slen = jnp.full((b,), s, jnp.int32)
+    align = np.zeros((b, t), np.int32)
+    for i in range(b):
+        pos = np.sort(rng.choice(int(ilen[i]), size=s, replace=False))
+        align[i, pos] = np.asarray(labels)[i]
+    bands = bands_from_alignment(jnp.asarray(align), ilen, slen, 1, 0)
+    w = int(required_band_width(ilen, slen, bands, t, s + 1))
+    lb = pack_band(logits, compute_band_layout(ilen, slen, bands, t,
+                                               s + 1, w))
+
+    blob = export_banded_loss(lb, labels, ilen, slen, bands.min_s,
+                              bands.max_s, platforms=("cpu",))
+    fn = import_fn(blob)
+    costs, grads = fn(lb, labels, ilen, slen, bands.min_s, bands.max_s)
+
+    ref_costs, vjp = jax.vjp(
+        lambda x: monotonic_rnnt_loss_banded(
+            x, labels, ilen, slen, bands=bands, backend="reference"), lb)
+    ref_grads, = vjp(jnp.ones_like(ref_costs))
+    np.testing.assert_allclose(np.asarray(costs), np.asarray(ref_costs),
+                               rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(grads), np.asarray(ref_grads),
+                               rtol=1e-6, atol=1e-7)
+
+
 def test_export_greedy_decoder_roundtrip():
     from monotonic_rnnt_tpu.data.synthetic import tiny_batch
     from monotonic_rnnt_tpu.models.conformer import ConformerConfig
