@@ -81,6 +81,46 @@ def main():
         0, K, loss_body, (x, jnp.float32(0)))[1])
     t_loss16 = timed(loss16_loop, logits.astype(jnp.bfloat16), lambda r: r)
 
+    def stream_ceiling(dtype, k1=10, k2=4):
+        """Best-effort Pallas stream rate (GB/s), dispatch-corrected.
+
+        Runs as an UNROLLED dependent copy chain: inside a fori_loop the
+        while-carry forces an extra full-tensor copy per iteration (a
+        pallas output cannot alias the carry), halving the apparent rate —
+        benchmarks/stream_bench.py documents the sweep. vmem_512 was the
+        fastest config (641 GB/s f32 on v5e through axon).
+        """
+        if not on_tpu:
+            return None
+        from monotonic_rnnt_tpu.ops.pallas.stream import stream_copy
+
+        xc = jax.device_put(
+            rng.randn(327680, 1024).astype(np.float32)).astype(dtype)
+        cbytes = xc.size * xc.dtype.itemsize
+
+        def make_chain(k):
+            def chain(a):
+                for _ in range(k):
+                    a = stream_copy(a, mode="vmem", block_rows=512)
+                return a
+            return jax.jit(chain)
+
+        def run(k):
+            loop = make_chain(k)
+            _ = np.asarray(loop(xc)[0, :2])
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                _ = np.asarray(loop(xc)[0, :2])
+                best = min(best, time.perf_counter() - t0)
+            return best
+
+        t1, t2 = run(k1), run(k2)
+        return 2 * cbytes / max((t1 - t2) / (k1 - k2), 1e-9)
+
+    ceil_f32 = stream_ceiling(jnp.float32)
+    ceil_bf16 = stream_ceiling(jnp.bfloat16)
+
     def cost_body(i, carry):
         x, acc = carry
         x = x.at[:, 0, 0, 0].add((acc * 1e-20).astype(x.dtype))
@@ -116,6 +156,16 @@ def main():
     t_copy_c = (t_copy * K - total_copy2) / (K - K2)
     hbm_bw_c = 2 * nbytes / t_copy_c
     roofline_frac_c = (3 * nbytes / hbm_bw_c) / t_loss_c
+
+    # bf16 corrected time + roofline vs the bf16 stream ceiling (the bf16
+    # pipeline moves half the bytes: 2 reads + 1 write of a bf16 tensor).
+    loss16_loop2 = jax.jit(lambda x: jax.lax.fori_loop(
+        0, K2, loss_body, (x, jnp.float32(0)))[1])
+    total16_2 = timed(loss16_loop2, logits.astype(jnp.bfloat16),
+                      lambda r: r) * K
+    t_loss16_c = (t_loss16 * K - total16_2) / (K - K2)
+    bf16_roofline = ((3 * (nbytes // 2) / ceil_bf16) / t_loss16_c
+                     if ceil_bf16 else None)
     # Also report the fraction against the chip's *spec* bandwidth so the
     # measured-copy headline can't be misread as "% of hardware peak". The
     # measured ceiling is the honest achievable bound through this runtime
@@ -155,10 +205,20 @@ def main():
             "max_grad_err_vs_oracle": max_grad_err,
             "bf16_iter_ms": round(t_loss16 * 1e3, 3),
             "cost_only_iter_ms": round(t_cost * 1e3, 3),
+            "copy_ceiling_f32_GBps": (round(ceil_f32 / 1e9, 1)
+                                      if ceil_f32 else None),
+            "copy_ceiling_bf16_GBps": (round(ceil_bf16 / 1e9, 1)
+                                       if ceil_bf16 else None),
             "dispatch_corrected": {
                 "iter_ms": round(t_loss_c * 1e3, 3),
                 "measured_hbm_GBps": round(hbm_bw_c / 1e9, 1),
                 "roofline_fraction": round(roofline_frac_c, 3),
+                "bf16_iter_ms": round(t_loss16_c * 1e3, 3),
+                "bf16_roofline_fraction": (round(bf16_roofline, 3)
+                                           if bf16_roofline else None),
+                "roofline_fraction_vs_spec": (
+                    round((3 * nbytes / hbm_spec) / t_loss_c, 3)
+                    if hbm_spec else None),
             },
             "backend": backend,
             "device": str(jax.devices()[0]),

@@ -43,10 +43,15 @@ def _require_tf():
 
 
 def _native_fwd(acts, labels, ilen, slen, align, max_dist, blank):
+    # Adopt TF's intra-op thread pool size for the OpenMP engine, as the
+    # reference's CPU TF op does (monotonic_rnnt_op.cu:182); 0 = the
+    # engine's default when TF reports 0 (= "pick for me").
+    threads = tf.config.threading.get_intra_op_parallelism_threads()
     costs, grads = rnnt_loss_native(
         acts, labels, ilen, slen, blank_id=int(blank),
         alignment=None if align.size == 0 else align,
-        max_distance_from_alignment=int(max_dist), with_grads=True)
+        max_distance_from_alignment=int(max_dist), with_grads=True,
+        num_threads=int(threads))
     return costs.astype(np.float32), grads.astype(np.float32)
 
 
@@ -201,6 +206,75 @@ def monotonic_rnnt_loss_banded(
         tf.convert_to_tensor(label_lengths, tf.int32),
         tf.convert_to_tensor(band_min, tf.int32),
         tf.convert_to_tensor(band_max, tf.int32))
+
+
+def make_tf_loss_module(blank_label: int = 0, backend: Optional[str] = None):
+    """tf.Module exposing the XLA-native losses for tf.saved_model.save.
+
+    The packed `monotonic_rnnt_loss` rides tf.numpy_function and is
+    eager/in-process only — it cannot be serialized into a SavedModel. The
+    jax2tf padded and banded paths below are pure XLA and can: trace them
+    with concrete shapes (call once, or pass get_concrete_function results
+    as `signatures=`), then save with
+    tf.saved_model.SaveOptions(experimental_custom_gradients=True) to keep
+    the registered gradients. This is the installable-artifact role of the
+    reference's SavedModel-loadable TF op
+    (tensorflow_binding/monotonic_rnnt_op.cu:140-190, CMakeLists.txt:139-144).
+    """
+    _require_tf()
+
+    class _LossModule(tf.Module):
+        @tf.function
+        def padded(self, logits, labels, input_lengths, label_lengths):
+            return monotonic_rnnt_loss_padded(
+                logits, labels, input_lengths, label_lengths,
+                blank_label=blank_label, backend=backend)
+
+        @tf.function
+        def banded(self, logits_band, labels, input_lengths, label_lengths,
+                   band_min, band_max):
+            return monotonic_rnnt_loss_banded(
+                logits_band, labels, input_lengths, label_lengths,
+                band_min, band_max, blank_label=blank_label, backend=backend)
+
+    return _LossModule()
+
+
+def make_tf_decoder_module(model, params, max_labels: int):
+    """tf.Module bundling model weights (as tf.Variables) + greedy decode.
+
+    The returned module's `decode(feats, feat_lengths)` is a tf.function
+    over the jax2tf-staged greedy decoder with the params captured as
+    module variables — exactly the shape tf.saved_model.save expects for a
+    self-contained TF Serving artifact (weights inside the SavedModel, no
+    JAX at load time).
+    """
+    _require_tf()
+    import jax
+    from jax.experimental import jax2tf
+
+    def fn(p, feats, feat_lengths):
+        return model.apply(p, feats, feat_lengths, max_labels,
+                           method="greedy_decode")
+
+    conv = jax2tf.convert(fn, native_serialization_platforms=("cpu", "tpu"))
+
+    class _DecoderModule(tf.Module):
+        def __init__(self):
+            super().__init__()
+            flat, treedef = jax.tree.flatten(
+                jax.tree.map(np.asarray, params))
+            self._treedef = treedef
+            self._params = [tf.Variable(a, trainable=False,
+                                        name=f"param_{i}")
+                            for i, a in enumerate(flat)]
+
+        @tf.function
+        def decode(self, feats, feat_lengths):
+            p = jax.tree.unflatten(self._treedef, list(self._params))
+            return conv(p, feats, feat_lengths)
+
+    return _DecoderModule()
 
 
 def make_tf_greedy_decoder(model, max_labels: int):

@@ -43,53 +43,112 @@ def _require_torch():
         raise ImportError("torch is not available in this environment")
 
 
+def _packed_jax_fwd(acts, labels, input_lengths, label_lengths, alignment,
+                    max_distance_from_alignment, blank_label, needs_grad):
+    """Packed torch tensors -> JAX padded engine -> packed numpy outputs.
+
+    The accelerator route of the packed layout (the reference's GPU packed
+    binding role, pytorch_binding/monotonic_rnnt.cu:81-114): unpack to the
+    padded [B, T, S1, V] layout on the host indices, run the framework's
+    engine (fused Pallas pipeline when a TPU is attached), repack the
+    gradients. Exact packed signature in, exact packed gradients out.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops.bands import bands_from_alignment, default_bands
+    from ..ops.loss import _resolve_backend
+    from ..ops.packing import pack_acts, unpack_acts
+
+    ilen = input_lengths.detach().cpu().numpy().astype(np.int32)
+    slen = label_lengths.detach().cpu().numpy().astype(np.int32)
+    x = unpack_acts(_torch_to_jax(acts), ilen, slen)
+    default_dev = jax.devices()[0]
+    if default_dev.platform != "cpu":
+        x = jax.device_put(x, default_dev)
+    la = jnp.asarray(labels.detach().cpu().numpy().astype(np.int32))
+    il, sl = jnp.asarray(ilen), jnp.asarray(slen)
+    if alignment is not None:
+        bands = bands_from_alignment(
+            jnp.asarray(alignment.detach().cpu().numpy().astype(np.int32)),
+            il, sl, max_distance_from_alignment, blank_label)
+    else:
+        bands = default_bands(il, sl, x.shape[1])
+    fn = _jax_loss_fn(int(blank_label), _resolve_backend(None), needs_grad)
+    costs, grads = fn(x, la, il, sl, bands.min_s, bands.max_s)
+    costs_np = np.array(jax.device_get(costs), dtype=np.float32)
+    if not needs_grad:
+        return costs_np, None
+    grads_packed = pack_acts(grads.astype(jnp.float32), ilen, slen)
+    return costs_np, np.array(jax.device_get(grads_packed), dtype=np.float32)
+
+
 class _MonotonicRNNTFunction(torch.autograd.Function if torch else object):
 
     @staticmethod
     def forward(ctx, acts, labels, input_lengths, label_lengths, alignment,
-                max_distance_from_alignment, blank_label):
-        if acts.device.type != "cpu":
-            raise ValueError(
-                "the torch binding runs on CPU; use the JAX API "
-                "(monotonic_rnnt_tpu.monotonic_rnnt_loss) for accelerators")
+                max_distance_from_alignment, blank_label, engine):
         # Cost-only fast path (skips the beta recursion and the gradient
         # buffer entirely) when autograd will never call backward. grad mode
         # is always off inside Function.forward, so is_grad_enabled() can't
         # be used; ctx.needs_input_grad already folds it in.
         needs_grad = ctx.needs_input_grad[0]
-        costs_np, grads_np = rnnt_loss_native(
-            acts.detach().numpy(), labels.detach().numpy(),
-            input_lengths.detach().numpy(), label_lengths.detach().numpy(),
-            blank_id=blank_label,
-            alignment=None if alignment is None
-            else alignment.detach().numpy(),
-            max_distance_from_alignment=max_distance_from_alignment,
-            with_grads=needs_grad)
+        if engine == "native":
+            costs_np, grads_np = rnnt_loss_native(
+                acts.detach().numpy(), labels.detach().numpy(),
+                input_lengths.detach().numpy(),
+                label_lengths.detach().numpy(),
+                blank_id=blank_label,
+                alignment=None if alignment is None
+                else alignment.detach().numpy(),
+                max_distance_from_alignment=max_distance_from_alignment,
+                with_grads=needs_grad)
+        else:
+            costs_np, grads_np = _packed_jax_fwd(
+                acts, labels, input_lengths, label_lengths, alignment,
+                max_distance_from_alignment, blank_label, needs_grad)
+        ctx._orig_device = acts.device
         if needs_grad:
-            ctx.save_for_backward(torch.from_numpy(grads_np), input_lengths,
-                                  label_lengths)
-        return torch.from_numpy(costs_np)
+            ctx.save_for_backward(torch.from_numpy(grads_np),
+                                  input_lengths.cpu(), label_lengths.cpu())
+        return torch.from_numpy(costs_np).to(acts.device)
 
     @staticmethod
     def backward(ctx, grad_costs):
         grads, input_lengths, label_lengths = ctx.saved_tensors
         repeats = (input_lengths * (label_lengths + 1)).to(torch.long)
-        scale = grad_costs.to(grads.dtype).repeat_interleave(repeats)
-        return scale.unsqueeze(1) * grads, None, None, None, None, None, None
+        scale = grad_costs.detach().cpu().to(
+            grads.dtype).repeat_interleave(repeats)
+        return ((scale.unsqueeze(1) * grads).to(ctx._orig_device), None,
+                None, None, None, None, None, None)
 
 
 def monotonic_rnnt_loss(acts, labels, input_lengths, label_lengths,
                         alignment=None, max_distance_from_alignment: int = 0,
-                        blank_label: int = 0):
+                        blank_label: int = 0, engine: str = None):
     """Reference-compatible packed-layout torch loss.
 
-    acts: [sum_b T_b*(S_b+1), V] float32 CPU tensor; labels [B, S_max] int32;
-    lengths int32 [B]. Returns per-sample costs [B] (differentiable).
+    acts: [sum_b T_b*(S_b+1), V] float32 tensor; labels [B, S_max] int32;
+    lengths int32 [B]. Returns per-sample costs [B] on acts' device
+    (differentiable).
+
+    engine: None = 'auto' (the native C++ engine for CPU tensors, the JAX
+    engine — fused Pallas pipeline when a TPU is attached — for accelerator
+    tensors, matching the reference's CPU/GPU dispatch), or force 'native' /
+    'jax'.
     """
     _require_torch()
+    if engine is None:
+        engine = "native" if acts.device.type == "cpu" else "jax"
+    if engine not in ("native", "jax"):
+        raise ValueError(f"engine must be None, 'native' or 'jax'; "
+                         f"got {engine!r}")
+    if engine == "native" and acts.device.type != "cpu":
+        raise ValueError("engine='native' needs CPU tensors; accelerator "
+                         "tensors route through engine='jax'")
     return _MonotonicRNNTFunction.apply(
         acts, labels, input_lengths, label_lengths, alignment,
-        max_distance_from_alignment, blank_label)
+        max_distance_from_alignment, blank_label, engine)
 
 
 # ---------------------------------------------------------------------------

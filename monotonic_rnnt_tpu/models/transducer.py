@@ -366,8 +366,12 @@ class MonotonicTransducer(nn.Module):
             score = jnp.take_along_axis(score, order, axis=1)
         return tokens, n_hyp, score
 
+    # Per-lane multipliers of the beam's rolling sequence hash (two
+    # independent 32-bit multiplicative hashes = one 64-bit fingerprint).
+    _HASH_MULTS = (2654435761, 2246822507)
+
     def _beam_init_carry(self, batch: int, beam: int, cap: int, lm):
-        """Fresh beam carry: (tokens, n_hyp, score, pstate, ctx[, lm...])."""
+        """Fresh beam carry: (tokens, n_hyp, score, hseq, pstate, ctx[, lm...])."""
         from ..ops.helpers import NEG_INF
 
         assert self.cfg.vocab_size >= beam, \
@@ -380,6 +384,7 @@ class MonotonicTransducer(nn.Module):
                 jnp.where(jnp.arange(beam)[None, :] == 0, 0.0,
                           NEG_INF).astype(jnp.float32)
                 * jnp.ones((batch, 1), jnp.float32),
+                jnp.zeros((batch, beam, 2), jnp.uint32),
                 pstate, ctx)
         if lm is not None:
             init = init + lm.step(
@@ -404,15 +409,16 @@ class MonotonicTransducer(nn.Module):
         v_idx = jnp.arange(vocab, dtype=jnp.int32)
         frozen_logp = jnp.where(v_idx == blank, 0.0,
                                 NEG_INF).astype(jnp.float32)
-        if len(carry) != (7 if lm is not None else 5):
+        if len(carry) != (8 if lm is not None else 6):
             raise ValueError(
                 f"beam carry has {len(carry)} elements but lm is "
                 f"{'set' if lm is not None else 'None'} — pass the same "
                 f"`lm` to the init and to every step")
         if lm is None:
-            tokens, n_hyp, score, pstate, ctx = carry
+            tokens, n_hyp, score, hseq, pstate, ctx = carry
         else:
-            tokens, n_hyp, score, pstate, ctx, lm_state, lm_logp = carry
+            (tokens, n_hyp, score, hseq, pstate, ctx, lm_state,
+             lm_logp) = carry
         batch = tokens.shape[0]
         enc_dim = enc_t.shape[-1]
 
@@ -464,15 +470,29 @@ class MonotonicTransducer(nn.Module):
             tok[:, :, None], par_tokens)
         new_n = par_n + emit.astype(jnp.int32)
 
+        # Rolling sequence hash riding the beam: two independent 32-bit
+        # multiplicative hashes per hypothesis, each updated h <- h*M +
+        # (tok+1) on emission. Duplicate detection then compares the
+        # 64-bit fingerprint instead of the full [K, K, cap] token cube —
+        # O(K^2) per frame instead of O(K^2 * cap); collision odds are
+        # ~K^2 / 2^64 per frame (one-in-1e15 over a billion frames).
+        mults = jnp.asarray(self._HASH_MULTS, jnp.uint32)
+        par_h = jnp.take_along_axis(hseq, parent[:, :, None], axis=1)
+        new_h = jnp.where(emit[:, :, None],
+                          par_h * mults
+                          + (tok[:, :, None] + 1).astype(jnp.uint32),
+                          par_h)
+
         if merge_paths:
             # Hypotheses with identical label sequences are in identical
             # model state (same predictor history, same frame): merge
             # exactly by summing probabilities into the lowest-index
-            # representative and killing the duplicates.
+            # representative and killing the duplicates. Equal length +
+            # equal fingerprint <=> equal sequence (modulo the collision
+            # bound above).
             alive = top_scores > NEG_INF
             dup = (new_n[:, :, None] == new_n[:, None, :]) & jnp.all(
-                new_tokens[:, :, None] == new_tokens[:, None, :],
-                axis=-1)
+                new_h[:, :, None] == new_h[:, None, :], axis=-1)
             dup = dup & alive[:, :, None] & alive[:, None, :]
             group = jnp.where(dup, top_scores[:, None, :], NEG_INF)
             merged = jax.nn.logsumexp(group, axis=-1)
@@ -492,7 +512,8 @@ class MonotonicTransducer(nn.Module):
         next_state = self._select_state(emit_flat, stepped, par_state)
         next_ctx = jnp.where(emit_flat[:, None], stepped_ctx, par_ctx)
         if lm is None:
-            return (new_tokens, new_n, top_scores, next_state, next_ctx)
+            return (new_tokens, new_n, top_scores, new_h, next_state,
+                    next_ctx)
         # LM states ride the beam exactly like predictor states.
         par_lm = jax.tree.map(lambda x: gather_parents(x, parent),
                               lm_state)
@@ -502,5 +523,5 @@ class MonotonicTransducer(nn.Module):
         next_lm = self._select_state(emit_flat, stepped_lm, par_lm)
         next_lm_logp = jnp.where(emit_flat[:, None], stepped_logp,
                                  par_lm_logp)
-        return (new_tokens, new_n, top_scores, next_state, next_ctx,
+        return (new_tokens, new_n, top_scores, new_h, next_state, next_ctx,
                 next_lm, next_lm_logp)

@@ -41,9 +41,10 @@ import jax
 import jax.numpy as jnp
 
 from .bands import Bands, default_bands, lattice_masks
-from .helpers import (extend_labels, log_sum_exp, mask_to_additive,
+from .helpers import (NEG_INF, extend_labels, log_sum_exp, mask_to_additive,
                       shift_left_s, shift_right_s)
-from .reference import compute_stats, gradients_from_coefficients
+from .reference import (LatticeStats, compute_stats,
+                        gradients_from_coefficients)
 from ..utils.status import RnntError, Status
 from ..utils.vma import (psum_to_primal as _psum_to_primal,
                          tree_vma as _carry_vma, vary_to as _vary_to)
@@ -55,8 +56,24 @@ def _chunk_stats(logits_c, labels, slen, blank_id, axis_name):
     With axis_name set, logits_c is this shard's local V slice (vocab
     tensor parallelism): the global stats come from one local pass plus a
     pmax/psum pair over the named axis (ops/collective.py).
+
+    On TPU the fused Pallas kernel computes the stats in ONE read of the
+    chunk's logits (the XLA formulation is ~2: a logsumexp pass plus the
+    gathers); gating per loss.use_pallas_kernels.
     """
     if axis_name is None:
+        from .loss import use_pallas_kernels
+
+        if use_pallas_kernels():
+            from .pallas.kernels import softmax_stats
+
+            labels_ext = extend_labels(labels, slen, logits_c.shape[2])
+            denom, lp_blank, lpl_raw = softmax_stats(logits_c, labels_ext,
+                                                     blank_id)
+            lp_label = jnp.where((labels_ext >= 0)[:, None, :], lpl_raw,
+                                 NEG_INF)
+            return LatticeStats(denom=denom, lp_blank=lp_blank,
+                                lp_label=lp_label), 0
         return compute_stats(logits_c, labels, slen, blank_id), 0
     from .collective import sharded_lattice_stats
 

@@ -33,7 +33,7 @@ import jax
 import jax.numpy as jnp
 
 from ..utils.status import RnntError, Status
-from .banded import band_gradients, band_labels, band_stats
+from .banded import BandStats, band_gradients, band_labels, band_stats
 from .bands import (BandLayout, Bands, band_final_slot, band_lattice_masks,
                     band_virtual_next_rows, compute_band_layout)
 from .chunked import _carry_vma, _psum_to_primal, _vary_to
@@ -45,8 +45,22 @@ def _band_chunk_stats(logits_c, lab_k, blank_id, axis_name):
     """(BandStats, v_offset) for one chunk's packed band logits.
 
     With axis_name set, logits_c is this shard's local V slice (vocab
-    tensor parallelism; ops/collective.py)."""
+    tensor parallelism; ops/collective.py).
+
+    On TPU the fused Pallas stats kernel computes this in ONE read of the
+    chunk's band logits — the 3-D lab_k streams per-t label blocks (see
+    kernels._label_operand); gating per loss.use_pallas_kernels."""
     if axis_name is None:
+        from .loss import use_pallas_kernels
+
+        if use_pallas_kernels():
+            from .pallas.kernels import softmax_stats
+
+            denom, lp_blank, lpl_raw = softmax_stats(logits_c, lab_k,
+                                                     blank_id)
+            lp_label = jnp.where(lab_k >= 0, lpl_raw, NEG_INF)
+            return BandStats(denom=denom, lp_blank=lp_blank,
+                             lp_label=lp_label), 0
         return band_stats(logits_c, lab_k, blank_id), 0
     from .collective import sharded_band_stats
 

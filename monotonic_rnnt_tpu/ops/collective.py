@@ -28,18 +28,12 @@ def local_max_sumexp(x_local):
     """Pre-reduction (m, sum-exp) per lattice cell over the local V slice.
 
     On TPU the fused Pallas kernel does this in ONE read of the shard (the
-    XLA formulation below needs a max pass and a sum pass). Two gates:
-    the actual device platform (interpret mode cannot execute inside
-    shard_map and a compiled Pallas call can't run on CPU, so non-TPU hosts
-    keep the XLA path regardless of MRNNT_BACKEND), AND the resolved config
-    backend (MRNNT_BACKEND=reference must bypass the kernel on hardware too
-    — that is the whole point of the debug backend).
+    XLA formulation below needs a max pass and a sum pass); gating per
+    loss.use_pallas_kernels.
     """
-    from .loss import _resolve_backend
+    from .loss import use_pallas_kernels
 
-    if (jax.default_backend() == "tpu"
-            and _resolve_backend(None) == "pallas"
-            and not jax.config.jax_disable_jit):
+    if use_pallas_kernels():
         from .pallas.kernels import softmax_stats_partial
 
         return softmax_stats_partial(x_local)

@@ -43,6 +43,21 @@ def _resolve_backend(backend: Optional[str]) -> str:
     return backend
 
 
+def use_pallas_kernels() -> bool:
+    """True when compiled Pallas kernels should run on this host.
+
+    Two gates: the actual device platform (interpret mode cannot execute
+    inside shard_map and a compiled Pallas call can't run on CPU, so non-TPU
+    hosts keep the XLA path regardless of MRNNT_BACKEND), AND the resolved
+    config backend (MRNNT_BACKEND=reference must bypass the kernels on
+    hardware too — that is the whole point of the debug backend).
+    jax_disable_jit rules out compiled calls entirely.
+    """
+    return (jax.default_backend() == "tpu"
+            and _resolve_backend(None) == "pallas"
+            and not jax.config.jax_disable_jit)
+
+
 def _run(logits, labels, input_lengths, label_lengths, bands, blank_id,
          backend, with_grads):
     if backend == "pallas":

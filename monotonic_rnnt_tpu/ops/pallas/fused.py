@@ -1,14 +1,20 @@
 """Fused Pallas monotonic RNN-T loss pipeline (TPU hot path).
 
-Orchestrates the three kernels in ops/pallas/kernels.py. HBM traffic:
-  stats: read logits once                   (B*T*S1*V elements)
-  DP:    read/write only [B, T, S1] arrays  (negligible, V-free)
-  grad:  read logits once, write grads once
-Total = 2 reads + 1 write of the big tensor — the algorithmic minimum given
-the DP dependency between the softmax statistics and the gradient.
+Two orchestrations over the kernels in ops/pallas/kernels.py, both at the
+algorithmic-minimum HBM traffic of 2 reads + 1 write of the [B, T, S1, V]
+tensor:
 
-Everything between kernels (band masks, occupancy coefficients, ll gather) is
-O(B*T*S1) elementwise work left to XLA fusion.
+  * DP-fused (default when the whole batch fits one block,
+    kernels.fused_dp_tiles): stats_alpha_fused (1 read, alpha DP inside)
+    then beta_grad_fused (1 read + 1 write, beta DP + occupancy inside) —
+    ZERO exposed scan time; the serial recurrences hide behind the streams'
+    DMA.
+  * split (fallback for very large B*S1): softmax_stats, the lane-packed
+    bidirectional fwdbwd_scan, grad_pass — same math, the DP runs as its
+    own (batch-tiled) kernel.
+
+Everything between kernels (window bounds, ll gather, small folds) is
+O(B*T(*S1)) elementwise work left to XLA fusion.
 """
 
 from __future__ import annotations
@@ -20,10 +26,12 @@ import jax.numpy as jnp
 
 from ...utils.config import get_config
 from ...utils.debug import emit_loss_debug
-from ..bands import Bands, default_bands, lattice_masks
+from ..bands import Bands, _window_bounds, default_bands, lattice_masks
 from ..helpers import NEG_INF, extend_labels, mask_to_additive
 from ..reference import occupancy_coefficients
-from .kernels import alpha_scan, beta_scan, dp_tiles, grad_pass, softmax_stats
+from .kernels import (alpha_scan, beta_grad_fused, dp_tiles, fused_dp_tiles,
+                      fwdbwd_scan, grad_pass, softmax_stats,
+                      stats_alpha_fused)
 
 
 def rnnt_loss_pallas(
@@ -48,9 +56,15 @@ def rnnt_loss_pallas(
     slen = label_lengths.astype(jnp.int32)
     if bands is None:
         bands = default_bands(ilen, slen, t_max)
-    masks = lattice_masks(ilen, slen, bands, t_max, s1)
     labels_ext = extend_labels(labels, slen, s1)
 
+    fused_tiles = fused_dp_tiles(batch, t_max, s1, v)
+    if fused_tiles is not None:
+        return _pipeline_dp_fused(logits, labels_ext, ilen, slen, bands,
+                                  blank_id, with_grads, interpret,
+                                  fused_tiles)
+
+    masks = lattice_masks(ilen, slen, bands, t_max, s1)
     denom, lp_blank, lpl_raw = softmax_stats(logits, labels_ext, blank_id,
                                              interpret=interpret)
     s_idx = jnp.arange(s1, dtype=jnp.int32)[None, None, :]
@@ -59,8 +73,11 @@ def rnnt_loss_pallas(
 
     # The DP kernels require full blocks: pad B to a multiple of the batch
     # tile and T to a multiple of the time tile. Only the small [B, T, S1]
-    # arrays are padded — the big logits tensor never is.
-    bt, b_pad, tt, t_pad = dp_tiles(batch, t_max, s1)
+    # arrays are padded — the big logits tensor never is. The grads path
+    # runs the bidirectional kernel on 2*S1 packed lanes, so its tiles are
+    # sized for the packed row.
+    bt, b_pad, tt, t_pad = dp_tiles(batch, t_max,
+                                    2 * s1 if with_grads else s1)
 
     def _pad_small(x, fill):
         return jnp.pad(x, ((0, b_pad - batch), (0, t_pad - t_max), (0, 0)),
@@ -70,8 +87,24 @@ def rnnt_loss_pallas(
     lpl_p = _pad_small(lp_label, 0.0)
     amask_p = _pad_small(mask_to_additive(masks.alpha), NEG_INF)
 
-    alphas = alpha_scan(lpb_p, lpl_p, amask_p, interpret=interpret,
-                        tiles=(bt, tt))[:batch, :t_max]
+    if with_grads:
+        # One bidirectional kernel advances both serial chains per step —
+        # the scans' wall time is dependency latency, not VPU work.
+        beta_virtual = mask_to_additive(
+            jnp.arange(s1, dtype=jnp.int32)[None, :] == slen[:, None])
+        bmask_p = _pad_small(mask_to_additive(masks.beta), NEG_INF)
+        ilen_p = jnp.pad(ilen, (0, b_pad - batch), constant_values=1)
+        bvirt_p = jnp.pad(beta_virtual, ((0, b_pad - batch), (0, 0)),
+                          constant_values=NEG_INF)
+        alphas, betas = fwdbwd_scan(lpb_p, lpl_p, amask_p, bmask_p,
+                                    ilen_p[:, None, None], bvirt_p,
+                                    interpret=interpret, tiles=(bt, tt))
+        alphas = alphas[:batch, :t_max]
+        betas = betas[:batch, :t_max]
+    else:
+        alphas = alpha_scan(lpb_p, lpl_p, amask_p, interpret=interpret,
+                            tiles=(bt, tt))[:batch, :t_max]
+
     ll_fwd = jnp.take_along_axis(
         jnp.take_along_axis(alphas, jnp.clip(ilen - 1, 0)[:, None, None],
                             axis=1)[:, 0, :],
@@ -80,20 +113,60 @@ def rnnt_loss_pallas(
     if not with_grads:
         return costs, None
 
-    beta_virtual = mask_to_additive(
-        jnp.arange(s1, dtype=jnp.int32)[None, :] == slen[:, None])
-    bmask_p = _pad_small(mask_to_additive(masks.beta), NEG_INF)
-    ilen_p = jnp.pad(ilen, (0, b_pad - batch), constant_values=1)
-    bvirt_p = jnp.pad(beta_virtual, ((0, b_pad - batch), (0, 0)),
-                      constant_values=NEG_INF)
-    betas = beta_scan(lpb_p, lpl_p, bmask_p, ilen_p[:, None, None], bvirt_p,
-                      interpret=interpret, tiles=(bt, tt))[:batch, :t_max]
-
     occ, cb, cl = occupancy_coefficients(alphas, betas, ll_fwd, ilen, slen)
     # Write grads in the logits dtype: for bf16 training this halves the
     # gradient write traffic and saves the VJP's downstream cast pass (the
     # DP itself always accumulated in f32 above).
     grads = grad_pass(logits, denom, occ, cb, cl, labels_ext, blank_id,
                       out_dtype=logits.dtype, interpret=interpret)
+    emit_loss_debug(ll_fwd, betas[:, 0, 0], grads)
+    return costs, grads
+
+
+def _pipeline_dp_fused(logits, labels_ext, ilen, slen, bands, blank_id,
+                       with_grads, interpret, tiles):
+    """DP-fused orchestration: two big-tensor passes, zero exposed scans.
+
+    Produces bit-identical results to the split pipeline (the kernels fold
+    the window masks via LSE(a, b) + m == LSE(a + m, b + m) and substitute
+    the identical virtual-boundary rows); only the scheduling differs.
+    """
+    batch, t_max, s1, v = logits.shape
+    a_lo, a_hi, b_lo, b_hi = _window_bounds(ilen, slen, bands, t_max, s1)
+    t_idx = jnp.arange(t_max, dtype=jnp.int32)[None, :]
+    valid_t = t_idx < ilen[:, None]
+    # Conjoin t < T_b by emptying the window (hi < lo) on invalid rows.
+    a_hi = jnp.where(valid_t, a_hi, -1)
+    b_hi = jnp.where(valid_t, b_hi, -1)
+
+    denom, lp_blank, lp_label, alphas = stats_alpha_fused(
+        logits, labels_ext, a_lo, a_hi, blank_id, interpret=interpret,
+        tiles=tiles)
+    ll_fwd = jnp.take_along_axis(
+        jnp.take_along_axis(alphas, jnp.clip(ilen - 1, 0)[:, None, None],
+                            axis=1)[:, 0, :],
+        slen[:, None], axis=1)[:, 0]
+    costs = -ll_fwd
+    if not with_grads:
+        return costs, None
+
+    s_idx = jnp.arange(s1, dtype=jnp.int32)[None, None, :]
+    badd = jnp.where((s_idx >= b_lo[:, :, None]) & (s_idx <= b_hi[:, :, None]),
+                     0.0, NEG_INF).astype(jnp.float32)
+    alpha_virt = jnp.broadcast_to(
+        mask_to_additive(s_idx[0] == 0), (batch, s1))
+    alpha_prev = jnp.concatenate([alpha_virt[:, None, :], alphas[:, :-1, :]],
+                                 axis=1)
+    ll_ok = jnp.isfinite(ll_fwd)
+    llb = jnp.where(ll_ok, ll_fwd, 0.0)
+    valid = valid_t[:, :, None] & ll_ok[:, None, None]
+    aprev_m = jnp.where(valid, alpha_prev, NEG_INF)
+    beta_virtual = mask_to_additive(
+        jnp.arange(s1, dtype=jnp.int32)[None, :] == slen[:, None])
+
+    grads, betas = beta_grad_fused(
+        logits, denom, lp_blank + badd, lp_label + badd, aprev_m,
+        ilen[:, None, None], llb[:, None, None], beta_virtual, labels_ext,
+        blank_id, out_dtype=logits.dtype, interpret=interpret, tiles=tiles)
     emit_loss_debug(ll_fwd, betas[:, 0, 0], grads)
     return costs, grads

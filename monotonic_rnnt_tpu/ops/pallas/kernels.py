@@ -377,6 +377,264 @@ def softmax_stats_banded(logits_band, lab_band, rel_bounds, blank_id: int,
     )(logits_band, lab_band, *(b[:, :, None] for b in rel_bounds))
 
 
+# ---------------------------------------------------------------------------
+# Kernels 1b/3b: DP-fused big-tensor passes (zero exposed scan time)
+# ---------------------------------------------------------------------------
+#
+# The serial alpha/beta walks cost ~0.6 ms of pure dependency latency at the
+# headline shape even when lane-packed (kernel 2's fwdbwd_scan) — time the
+# memory-bound stats/grad passes cannot hide when the DP runs as its own
+# kernel. These variants run the DP *inside* the big-tensor passes: the
+# whole batch rides one [B, tt, S1, vt] block per grid step, the softmax
+# statistics accumulate online across V-blocks, and on each t-block's last
+# V-block the kernel advances the recurrence tt rows. The DP compute then
+# overlaps the next block's DMA, so the pipeline's wall time is exactly its
+# HBM traffic: stats+alpha = 1 read, beta+grad = 1 read + 1 write. This is
+# the role split of the reference's reduce + DP + grad kernel chain
+# (reduce.h:173-185, gpu_rnnt_kernel.h:121-237, :239-288) collapsed into
+# two passes.
+#
+# Reachability arrives as inclusive per-(b, t) windows (bands._window_bounds
+# conjoined with t < T_b by the orchestrator) — the same single source the
+# XLA oracle's masks are built from.
+
+
+def fused_dp_tiles(batch: int, t_max: int, s1: int, v: int):
+    """(1, VT) for the DP-fused kernels, or None when the shape won't fit.
+
+    The whole batch rides one [B, 1, S1, VT] block per grid step (the DP
+    advances all samples per step) — the t-block is ONE row so each
+    sample's slice is a large contiguous chunk (vt ~ V): time-tiled
+    narrow-V blocks read 512-byte strided slivers and halve the effective
+    HBM rate. The small [B, T, S1] arrays ride whole, VMEM-resident (the
+    (8, 128) block-shape rule forbids 1-row blocks of them anyway), so the
+    shape must satisfy BOTH budgets; otherwise orchestrators fall back to
+    the split pipeline, which tiles the batch.
+    """
+    s1r = round_up(s1, 8)
+    row_bytes = batch * s1r * 4
+    vt = min(round_up(v, 128),
+             max(128, _VMEM_BUDGET_BYTES // row_bytes // 128 * 128))
+    resident = 5 * batch * t_max * s1r * 4
+    if batch * s1r * vt * 4 > _VMEM_BUDGET_BYTES or \
+            resident > 2 * _VMEM_BUDGET_BYTES:
+        return None
+    return 1, int(vt)
+
+
+def _stats_alpha_kernel(x_ref, lab_ref, alo_ref, ahi_ref, denom_ref, lpb_ref,
+                        lpl_ref, alphas_ref, m_sc, se_sc, g_sc, carry, *,
+                        blank_id, v_total, vt):
+    """Fused softmax statistics + in-kernel alpha DP (one read of logits).
+
+    Grid (T, nV): each step streams the [B, 1, S1, VT] row block (large
+    contiguous chunks per sample), accumulates the online softmax stats
+    across V-blocks, and on the last V-block writes this row's stats into
+    the VMEM-resident [B, T, S1] outputs and advances the alpha recurrence
+    one step. The DP compute overlaps the next row's DMA.
+    """
+    j = pl.program_id(0)
+    jv = pl.program_id(1)
+    nv = pl.num_programs(1)
+    batch, s1 = x_ref.shape[0], x_ref.shape[2]
+    x = x_ref[:, 0].astype(jnp.float32)             # [B, S1, VT]
+
+    v_global = jv * vt + jax.lax.broadcasted_iota(jnp.int32, x.shape, 2)
+    x = jnp.where(v_global < v_total, x, NEG_INF)
+    m_blk = jnp.max(x, axis=-1)                     # [B, S1]
+    lab = lab_ref[:, 0]                             # [B, S1]
+    blank_hit = jnp.where(v_global == blank_id, x, 0.0)
+    label_hit = jnp.where(v_global == lab[:, :, None], x, 0.0)
+    g_blk = jnp.stack([jnp.sum(blank_hit, axis=-1),
+                       jnp.sum(label_hit, axis=-1)])
+
+    @pl.when(jv == 0)
+    def _():
+        m_sc[...] = m_blk
+        se_sc[...] = jnp.sum(jnp.exp(x - m_blk[..., None]), axis=-1)
+        g_sc[...] = g_blk
+
+        @pl.when(j == 0)
+        def _():
+            lane = jax.lax.broadcasted_iota(jnp.int32, (batch, s1), 1)
+            carry[...] = jnp.where(lane == 0, 0.0, NEG_INF)
+
+    @pl.when(jv > 0)
+    def _():
+        m_old = m_sc[...]
+        m_new = jnp.maximum(m_old, m_blk)
+        se_sc[...] = (se_sc[...] * jnp.exp(m_old - m_new) +
+                      jnp.sum(jnp.exp(x - m_new[..., None]), axis=-1))
+        m_sc[...] = m_new
+        g_sc[...] = g_sc[...] + g_blk
+
+    @pl.when(jv == nv - 1)
+    def _():
+        denom = -(m_sc[...] + jnp.log(se_sc[...]))
+        lpb = g_sc[0] + denom
+        lpl = jnp.where(lab >= 0, g_sc[1] + denom, NEG_INF)
+        denom_ref[:, j, :] = denom
+        lpb_ref[:, j, :] = lpb
+        lpl_ref[:, j, :] = lpl
+
+        s_iota = jax.lax.broadcasted_iota(jnp.int32, (batch, s1), 1)
+        win = (s_iota >= alo_ref[:, j, :]) & (s_iota <= ahi_ref[:, j, :])
+        prev = carry[...]
+        no_emit = prev + lpb
+        emit = _shift_up_s(prev + lpl)
+        new = jnp.where(win, log_sum_exp(no_emit, emit), NEG_INF)
+        carry[...] = new
+        alphas_ref[:, j, :] = new
+
+
+def stats_alpha_fused(logits, labels_ext, a_lo, a_hi, blank_id: int,
+                      interpret: bool = False, tiles=None):
+    """One-read fused stats + alpha scan over the full lattice.
+
+    a_lo / a_hi: [B, T] int32 inclusive alpha windows, already conjoined
+    with t < T_b (set hi < lo on invalid rows). labels_ext: [B, S1].
+    Returns (denom, lp_blank, lp_label_masked, alphas), each [B, T, S1] f32
+    — lp_label arrives pre-masked to -inf where the label slot is invalid
+    (unlike softmax_stats, whose caller masks).
+    """
+    batch, t_max, s1, v = logits.shape
+    _, vt = tiles or fused_dp_tiles(batch, t_max, s1, v)
+    grid = (t_max, pl.cdiv(v, vt))
+
+    vma = _vma(logits, labels_ext, a_lo, a_hi)
+    small = _struct((batch, t_max, s1), jnp.float32, vma)
+    resident = pl.BlockSpec((batch, t_max, s1), lambda j, jv: (0, 0, 0),
+                            memory_space=pltpu.VMEM)
+    bound_spec = pl.BlockSpec((batch, t_max, 1), lambda j, jv: (0, 0, 0),
+                              memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_stats_alpha_kernel, blank_id=blank_id, v_total=v,
+                          vt=vt),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((batch, 1, s1, vt), lambda j, jv: (0, j, 0, jv),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((batch, 1, s1), lambda j, jv: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            bound_spec, bound_spec,
+        ],
+        out_specs=(resident,) * 4,
+        out_shape=(small,) * 4,
+        scratch_shapes=[pltpu.VMEM((batch, s1), jnp.float32),
+                        pltpu.VMEM((batch, s1), jnp.float32),
+                        pltpu.VMEM((2, batch, s1), jnp.float32),
+                        pltpu.VMEM((batch, s1), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=_VMEM_LIMIT.vmem_limit_bytes),
+        interpret=interpret,
+    )(logits, labels_ext[:, None, :], a_lo[:, :, None], a_hi[:, :, None])
+
+
+def _beta_grad_kernel(x_ref, denom_ref, lpbb_ref, lplb_ref, aprev_ref,
+                      ilen_ref, llb_ref, bvirt_ref, lab_ref, grad_ref,
+                      betas_ref, carry, occ_sc, cb_sc, cl_sc, *, blank_id,
+                      v_total, vt):
+    """In-kernel beta DP + occupancy coefficients + fused gradient.
+
+    Grid (T, nV) with t DESCENDING (reverse index maps) so the beta carry
+    flows forward. On each row's first V-block the kernel advances beta one
+    step and materializes the row's occupancy coefficients into scratch;
+    every V-block then assembles the gradient: one read of logits + one
+    write of grads, with the whole DP and coefficient math hidden behind
+    the blocks' DMA. The small [B, T, S1] operand streams are VMEM-resident
+    (fetched once, constant index maps).
+    """
+    j = pl.program_id(0)
+    jv = pl.program_id(1)
+    batch, s1 = x_ref.shape[0], x_ref.shape[2]
+    t = pl.num_programs(0) - 1 - j
+
+    @pl.when(jv == 0)
+    def _():
+        @pl.when(j == 0)
+        def _():
+            carry[...] = jnp.full((batch, s1), NEG_INF, jnp.float32)
+
+        use_virtual = (t + 1) >= ilen_ref[:, 0, :]          # [B, 1]
+        nxt = jnp.where(use_virtual, bvirt_ref[:, 0, :], carry[...])
+        no_emit = nxt + lpbb_ref[:, t, :]
+        emit = _shift_down_s(nxt) + lplb_ref[:, t, :]
+        new = log_sum_exp(no_emit, emit)
+        carry[...] = new
+        betas_ref[:, t, :] = new
+        # Occupancy coefficients, same op order as the XLA oracle
+        # (exp(aprev + b - ll)) for bit-exact gradients; aprev arrives
+        # pre-masked to -inf on invalid cells, so exp == 0 there.
+        ap = aprev_ref[:, t, :]
+        llb = llb_ref[:, 0, :]                              # [B, 1]
+        occ_sc[...] = jnp.exp(ap + new - llb)
+        cb_sc[...] = jnp.exp(ap + nxt - llb)
+        cl_sc[...] = jnp.exp(ap + _shift_down_s(nxt) - llb)
+
+    x = x_ref[:, 0].astype(jnp.float32)                     # [B, S1, VT]
+    p = jnp.exp(x + denom_ref[:, t, :][..., None])
+    v_global = jv * vt + jax.lax.broadcasted_iota(jnp.int32, x.shape, 2)
+    blank_mask = v_global == blank_id
+    label_mask = v_global == lab_ref[:, 0][:, :, None]
+    coef = (occ_sc[...][..., None]
+            - jnp.where(blank_mask, cb_sc[...][..., None], 0.0)
+            - jnp.where(label_mask, cl_sc[...][..., None], 0.0))
+    grad_ref[:, 0] = jnp.where(coef == 0.0, 0.0,
+                               p * coef).astype(grad_ref.dtype)
+
+
+def beta_grad_fused(logits, denom, lpb_bmask, lpl_bmask, aprev_masked,
+                    input_lengths, ll_bounded, beta_virtual, labels_ext,
+                    blank_id: int, out_dtype=jnp.float32,
+                    interpret: bool = False, tiles=None):
+    """One-read-one-write fused beta scan + occupancy + gradient pass.
+
+    lpb_bmask / lpl_bmask: stats with the beta window mask pre-folded.
+    aprev_masked: [B, T, S1] f32 = alpha(t-1, s) where the cell is valid
+    (t < T_b and ll finite), exactly -inf elsewhere — the occupancy
+    coefficients become exp(aprev + beta - ll) with no masking left.
+    input_lengths [B, 1, 1] int32; ll_bounded [B, 1, 1] f32 (ll, 0 where
+    infeasible); beta_virtual [B, S1] f32; labels_ext [B, S1].
+    Returns (grads [B, T, S1, V] out_dtype, betas [B, T, S1] f32).
+    """
+    batch, t_max, s1, v = logits.shape
+    _, vt = tiles or fused_dp_tiles(batch, t_max, s1, v)
+    grid = (t_max, pl.cdiv(v, vt))
+
+    vma = _vma(logits, denom, lpb_bmask, lpl_bmask, aprev_masked,
+               input_lengths, ll_bounded)
+    big_spec = pl.BlockSpec(
+        (batch, 1, s1, vt),
+        lambda j, jv: (0, pl.num_programs(0) - 1 - j, 0, jv),
+        memory_space=pltpu.VMEM)
+    resident = pl.BlockSpec((batch, t_max, s1), lambda j, jv: (0, 0, 0),
+                            memory_space=pltpu.VMEM)
+    one_spec = lambda lanes: pl.BlockSpec((batch, 1, lanes),
+                                          lambda j, jv: (0, 0, 0),
+                                          memory_space=pltpu.VMEM)
+    grads, betas = pl.pallas_call(
+        functools.partial(_beta_grad_kernel, blank_id=blank_id, v_total=v,
+                          vt=vt),
+        grid=grid,
+        in_specs=[big_spec, resident, resident, resident, resident,
+                  one_spec(1), one_spec(1), one_spec(s1), one_spec(s1)],
+        out_specs=(big_spec, resident),
+        out_shape=(_struct((batch, t_max, s1, v), out_dtype, vma),
+                   _struct((batch, t_max, s1), jnp.float32, vma)),
+        scratch_shapes=[pltpu.VMEM((batch, s1), jnp.float32),
+                        pltpu.VMEM((batch, s1), jnp.float32),
+                        pltpu.VMEM((batch, s1), jnp.float32),
+                        pltpu.VMEM((batch, s1), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=_VMEM_LIMIT.vmem_limit_bytes),
+        interpret=interpret,
+    )(logits, denom, lpb_bmask, lpl_bmask, aprev_masked, input_lengths,
+      ll_bounded, beta_virtual[:, None, :], labels_ext[:, None, :])
+    return grads, betas
+
+
 def _stats_partial_kernel(x_ref, m_ref, se_ref, m_sc, se_sc, *, v_total,
                           vt):
     """Local (m, sum-exp) softmax statistics — the vocab-sharded TP variant.
@@ -574,6 +832,123 @@ def beta_scan(lp_blank, lp_label, beta_maskadd, input_lengths, beta_virtual,
             vmem_limit_bytes=_VMEM_LIMIT.vmem_limit_bytes),
         interpret=interpret,
     )(lp_blank, lp_label, beta_maskadd, input_lengths, beta_virtual[:, None, :])
+
+
+def _fwdbwd_kernel(str1_ref, str2_ref, ilen_ref, bvirt_ref, out_ref, carry,
+                   *, tt, s1, unroll):
+    """Bidirectional full-lattice DP on lane-packed chains.
+
+    Port of _fwdbwd_band_kernel's carry packing to the unrestricted lattice
+    (replacing the reference's two serial CUDA DP kernels,
+    gpu_rnnt_kernel.h:121-237, with ONE walk): alpha occupies lanes [0, S1)
+    and beta — t-reversed — lanes [S1, 2*S1) of one carry row, so every
+    serial step advances both chains with one roll pair, one select, one
+    LSE. The masks are pre-folded into the transition streams
+    (LSE(a, b) + m == LSE(a + m, b + m)); the alpha emit term is folded at
+    its destination slot, up(prev + lpl) + amask == up(prev) + (up(lpl) +
+    amask), so str2's alpha half carries up(lpl) + amask. The beta
+    virtual-boundary switch t+1 >= T_b is computed from the reversed row
+    index against T_pad - T_b — no boolean stream needed. Unlike the banded
+    kernel there is no window shift, so the transition lane offsets are
+    static: alpha reads up(x), beta reads down(x).
+    """
+    j = pl.program_id(1)
+    bt, _, w2 = out_ref.shape
+
+    @pl.when(j == 0)
+    def _():
+        # alpha(-1, .) = [s == 0]; beta carry starts all -inf (the first
+        # reversed row always takes the virtual boundary: t+1 >= T_b).
+        lane = jax.lax.broadcasted_iota(jnp.int32, (bt, w2), 1)
+        carry[...] = jnp.where(lane == 0, 0.0, NEG_INF)
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, w2), 1)
+    half_left = lane < s1
+    up_fill = (lane == 0) | (lane == s1)                   # roll +1 edges
+    dn_fill = (lane == s1 - 1) | (lane == w2 - 1)          # roll -1 edges
+    bvirt = bvirt_ref[:, 0, :]
+    # Reversed row r is beta's global t = T_pad - 1 - r, so the boundary
+    # condition t + 1 >= T_b becomes r <= T_pad - T_b.
+    thr = pl.num_programs(1) * tt - ilen_ref[:, 0, :]      # [bt, 1]
+    t0 = j * tt
+
+    u = next(f for f in (unroll, 8, 4, 2, 1) if tt % f == 0)
+
+    def step(k, base, ops, x):
+        str1_c, str2_c = ops
+        uv = (base + k) <= thr                             # [bt, 1]
+        x1 = jnp.where(jnp.logical_and(~half_left, uv), bvirt, x)
+        up_x = jnp.where(up_fill, NEG_INF, jnp.roll(x1, 1, axis=1))
+        dn_x = jnp.where(dn_fill, NEG_INF, jnp.roll(x1, -1, axis=1))
+        ta = x1 + str1_c[:, k, :]
+        tb = jnp.where(half_left, up_x, dn_x) + str2_c[:, k, :]
+        return log_sum_exp(ta, tb)
+
+    def body(iu, _):
+        sl = pl.dslice(iu * u, u)
+        ops = (str1_ref[:, sl, :], str2_ref[:, sl, :])
+        base = t0 + iu * u
+        x = carry[...]
+        rows = []
+        for k in range(u):
+            x = step(k, base, ops, x)
+            rows.append(x)
+        out_ref[:, sl, :] = jnp.stack(rows, axis=1)
+        carry[...] = x
+        return 0
+
+    jax.lax.fori_loop(0, tt // u, body, 0)
+
+
+def fwdbwd_scan(lp_blank, lp_label, alpha_maskadd, beta_maskadd,
+                input_lengths, beta_virtual, interpret: bool = False,
+                tiles=None, unroll: int = 4):
+    """Fused full-lattice alpha+beta scans; returns (alphas, betas) [B, T, S1].
+
+    Produces exactly alpha_scan's and beta_scan's outputs in ONE serial
+    T-walk (see _fwdbwd_kernel). Operand contracts match those kernels:
+    additive masks, input_lengths [B, 1, 1] int32, beta_virtual [B, S1] f32.
+    B and T must be padded to full tiles sized with dp_tiles on 2*S1 lanes
+    (ops/pallas/fused.py does this); pass the same tiles=(BT, TT).
+    """
+    batch, t_max, s1 = lp_blank.shape
+    bt, tt = _resolve_scan_tiles(
+        tiles, lambda b, t, lanes: dp_tiles(b, t, 2 * lanes), batch, t_max,
+        s1)
+    grid = (batch // bt, t_max // tt)
+
+    flip = lambda x: jnp.flip(x, axis=1)
+    cat = lambda a, b: jnp.concatenate([a, flip(b)], axis=-1)
+    lpl_up = jnp.pad(lp_label[:, :, :-1], ((0, 0), (0, 0), (1, 0)),
+                     constant_values=NEG_INF)
+    str1 = cat(lp_blank + alpha_maskadd, lp_blank + beta_maskadd)
+    str2 = cat(lpl_up + alpha_maskadd, lp_label + beta_maskadd)
+    bvirt_packed = jnp.concatenate(
+        [jnp.full_like(beta_virtual, NEG_INF), beta_virtual],
+        axis=-1)[:, None, :]
+
+    w2 = 2 * s1
+    spec = _dp_spec(bt, tt, w2, reverse_t=False)
+    ilen_spec = pl.BlockSpec((bt, 1, 1), lambda b, j: (b, 0, 0),
+                             memory_space=pltpu.VMEM)
+    bvirt_spec = pl.BlockSpec((bt, 1, w2), lambda b, j: (b, 0, 0),
+                              memory_space=pltpu.VMEM)
+    out = _struct((batch, t_max, w2), jnp.float32,
+                  _vma(lp_blank, lp_label, alpha_maskadd, beta_maskadd,
+                       input_lengths))
+    packed = pl.pallas_call(
+        functools.partial(_fwdbwd_kernel, tt=tt, s1=s1, unroll=unroll),
+        grid=grid,
+        in_specs=[spec, spec, ilen_spec, bvirt_spec],
+        out_specs=spec,
+        out_shape=out,
+        scratch_shapes=[pltpu.VMEM((bt, w2), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=_VMEM_LIMIT.vmem_limit_bytes),
+        interpret=interpret,
+    )(str1, str2, input_lengths, bvirt_packed)
+    return packed[..., :s1], flip(packed[..., s1:])
 
 
 # ---------------------------------------------------------------------------

@@ -342,6 +342,37 @@ def main(argv=None):
     check("streaming greedy+beam(+LM) == full decode (compiled)",
           streaming_exactness)
 
+    def pallas_export_roundtrip():
+        # serving.export_fn of the PALLAS-backed loss for a single ("tpu",)
+        # platform: serialize -> deserialize -> run on the chip -> exact
+        # parity with the live pipeline (the claim in serving.py's docs).
+        from monotonic_rnnt_tpu.serving import export_fn, import_fn
+
+        rng = np.random.RandomState(21)
+        B, T, S, V = 2, 16, 4, 130
+        logits = jnp.asarray(rng.randn(B, T, S + 1, V).astype(np.float32))
+        labels = jnp.asarray(rng.randint(1, V, (B, S)).astype(np.int32))
+        il = jnp.asarray(np.array([T, T - 5], np.int32))
+        sl = jnp.asarray(np.array([S, S - 1], np.int32))
+
+        def fn(lg, la, il_, sl_):
+            from monotonic_rnnt_tpu import monotonic_rnnt_loss
+            costs, vjp = jax.vjp(
+                lambda x: monotonic_rnnt_loss(x, la, il_, sl_,
+                                              backend="pallas"), lg)
+            grads, = vjp(jnp.ones_like(costs))
+            return costs, grads
+
+        blob = export_fn(fn, (logits, labels, il, sl), platforms=("tpu",))
+        c_live, g_live = jax.jit(fn)(logits, labels, il, sl)
+        c_imp, g_imp = import_fn(blob)(logits, labels, il, sl)
+        cerr = float(jnp.max(jnp.abs(c_imp - c_live)))
+        gerr = float(jnp.max(jnp.abs(g_imp - g_live)))
+        assert cerr == 0.0 and gerr == 0.0, (cerr, gerr)
+
+    check("pallas export ('tpu',) round-trip == live pipeline",
+          pallas_export_roundtrip)
+
     if args.json_out:
         import json
 

@@ -101,6 +101,7 @@ def test_banded_pallas_matches_banded_reference(seed, batch, t, s, v, shift):
                                rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_banded_golden_alignment_losses():
     """Reference test_cpu.cpp:405-433/532-545 constants on the packed path."""
     logits, labels, ilen, slen = golden.readme_batch()
@@ -199,6 +200,7 @@ def test_banded_cost_only_and_validation():
             jnp.zeros((2, 16, s1 + 1, 12)), labels, ilen, slen, bands=bands)
 
 
+@pytest.mark.slow
 def test_band_layout_properties_random():
     """Structural contract fuzz: offsets/d/width invariants over random bands."""
     from monotonic_rnnt_tpu.ops.bands import band_layout_is_exact
@@ -239,6 +241,7 @@ def test_band_layout_properties_random():
                 ilen_j, slen_j, bands, t, s1, w_req - 1)).all()
 
 
+@pytest.mark.slow
 def test_banded_pallas_wide_window_tail_batch():
     """Regression: W > 512 once flipped the recomputed batch tile between the
     padded and unpadded shapes, so the scan grid floor-divided and the tail

@@ -100,6 +100,7 @@ def test_fused_joint_cost_only_no_vjp():
     np.testing.assert_allclose(np.asarray(costs), np.asarray(exp), rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_memory_efficient_model_loss_matches_standard():
     from monotonic_rnnt_tpu.data.synthetic import tiny_batch
     from monotonic_rnnt_tpu.models.conformer import ConformerConfig

@@ -124,6 +124,7 @@ def test_fused_banded_validation():
             bands=bands, band_width=2)
 
 
+@pytest.mark.slow
 def test_banded_memory_efficient_model_loss_matches_standard():
     """Model-level wiring: Joint.banded + make_banded_memory_efficient_loss
     reproduce the standard banded model loss and all parameter gradients."""

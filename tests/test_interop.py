@@ -134,3 +134,42 @@ def test_torch_padded_cost_only_no_grad():
             torch.tensor(logits), torch.tensor(labels), torch.tensor(ilen),
             torch.tensor(slen))
     np.testing.assert_allclose(costs.numpy(), [golden.README_LOSS], atol=1e-4)
+
+
+def test_torch_packed_jax_engine_matches_native():
+    """engine='jax' (the accelerator route: unpack -> padded JAX engine ->
+    repack) produces the native packed path's exact costs and gradients —
+    golden values, multibatch offsets, and the align-restricted variant."""
+    acts, labels, ilen, slen = _packed_readme()
+    costs = monotonic_rnnt_loss(acts, labels, ilen, slen, engine="jax")
+    np.testing.assert_allclose(costs.detach().numpy(), [golden.README_LOSS],
+                               atol=1e-4)
+    costs.sum().backward()
+    np.testing.assert_allclose(acts.grad.numpy().reshape(4, 3, 3),
+                               golden.README_GRADS, atol=1e-2)
+
+    # Align-restricted golden (reference 1.22 / 2.7).
+    acts2, labels, ilen, slen = _packed_readme()
+    c1 = monotonic_rnnt_loss(acts2, labels, ilen, slen,
+                             alignment=torch.tensor(golden.ALIGN_A[None]),
+                             max_distance_from_alignment=1, engine="jax")
+    np.testing.assert_allclose(c1.detach().numpy(), [1.22], atol=1e-2)
+
+    # Multibatch: packed offsets + per-sample gradient chain rule.
+    logits, labels, ilen, slen, exp_losses, _ = golden.multibatch()
+    packed = np.asarray(pack_acts(jnp.asarray(logits), ilen, slen))
+    a_nat = torch.tensor(packed, requires_grad=True)
+    a_jax = torch.tensor(packed, requires_grad=True)
+    labels_t, ilen_t, slen_t = (torch.tensor(labels), torch.tensor(ilen),
+                                torch.tensor(slen))
+    c_nat = monotonic_rnnt_loss(a_nat, labels_t, ilen_t, slen_t,
+                                engine="native")
+    c_jax = monotonic_rnnt_loss(a_jax, labels_t, ilen_t, slen_t,
+                                engine="jax")
+    np.testing.assert_allclose(c_jax.detach().numpy(),
+                               c_nat.detach().numpy(), atol=1e-4)
+    w = torch.tensor([1.0, 0.5])
+    (w * c_nat).sum().backward()
+    (w * c_jax).sum().backward()
+    np.testing.assert_allclose(a_jax.grad.numpy(), a_nat.grad.numpy(),
+                               rtol=1e-4, atol=1e-5)

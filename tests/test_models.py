@@ -25,6 +25,7 @@ def _tiny_cfg(vocab=32):
         joint_dim=64, vocab_size=vocab)
 
 
+@pytest.mark.slow
 def test_transducer_forward_loss():
     cfg = _tiny_cfg()
     model = MonotonicTransducer(cfg)
@@ -37,6 +38,7 @@ def test_transducer_forward_loss():
     assert np.all(np.asarray(costs) > 0)
 
 
+@pytest.mark.slow
 def test_train_step_descends():
     cfg = _tiny_cfg()
     batch = tuple(jnp.asarray(a) for a in tiny_batch(
@@ -52,6 +54,7 @@ def test_train_step_descends():
     assert losses[-1] < losses[0], f"loss did not descend: {losses}"
 
 
+@pytest.mark.slow
 def test_sharded_train_step():
     cfg = _tiny_cfg()
     batch = tuple(jnp.asarray(a) for a in tiny_batch(
@@ -63,6 +66,7 @@ def test_sharded_train_step():
     assert np.isfinite(float(metrics["loss"]))
 
 
+@pytest.mark.slow
 def test_tp_sharded_train_step_matches_dp():
     """Vocab-TP train step == DP train step: same loss, same updated params.
 
@@ -109,6 +113,7 @@ def test_tp_sharded_train_step_matches_dp():
     assert n_sharded == 4, f"expected 4 model-sharded opt leaves, {n_sharded}"
 
 
+@pytest.mark.slow
 def test_tp_banded_train_step_matches_oracle():
     """Banded vocab-TP train step == hand-built oracle step (O(W) x V/n).
 
@@ -233,6 +238,7 @@ def test_streaming_decode_matches_full_greedy(predictor_kind):
             toks, np.asarray(hyp_full)[b][:int(n_full[b])])
 
 
+@pytest.mark.slow
 def test_grad_accum_matches_single_step():
     """Accumulating over microbatches == one full-batch step (same update)."""
     from monotonic_rnnt_tpu.models.train import make_grad_accum_train_step
@@ -314,6 +320,7 @@ def test_streaming_beam_matches_full_beam():
                                atol=1e-5)
 
 
+@pytest.mark.slow
 def test_remat_encoder_same_loss_and_grads():
     """cfg.encoder.remat=True changes memory, not math: identical grads."""
     import dataclasses
@@ -371,6 +378,7 @@ def test_synthetic_bucketing():
     assert len(t_bounds) == len(shapes), shapes  # one label pad per bucket
 
 
+@pytest.mark.slow
 def test_beam_search_beam1_equals_greedy():
     cfg = _tiny_cfg()
     model = MonotonicTransducer(cfg)
@@ -411,6 +419,7 @@ def test_beam_search_wider_beam_never_worse():
     assert np.all(np.asarray(n4) <= 6)
 
 
+@pytest.mark.slow
 def test_checkpoint_save_restore_roundtrip(tmp_path):
     from monotonic_rnnt_tpu.models.train import (restore_checkpoint,
                                                  save_checkpoint)
@@ -625,6 +634,7 @@ def test_beam_search_dead_beams_do_not_fabricate():
                 assert (tok[b, k] == 0).all()
 
 
+@pytest.mark.slow
 def test_beam_search_path_merging_recovers_marginal():
     # Merged mass must dominate the single best path, stay a log-prob, and
     # — with a beam wide enough to cover all live hypotheses on a tiny

@@ -143,6 +143,53 @@ def test_pallas_vocab_tiled_stats_and_grad():
                                rtol=1e-4, atol=1e-5)
 
 
+def test_fwdbwd_scan_matches_separate_scans():
+    # The lane-packed bidirectional kernel must reproduce alpha_scan and
+    # beta_scan exactly (same operands, one serial walk). Odd lengths per
+    # sample exercise the in-kernel virtual-boundary switch; explicit
+    # padding/tiles follow the fused.py contract.
+    from monotonic_rnnt_tpu.ops.bands import default_bands, lattice_masks
+    from monotonic_rnnt_tpu.ops.helpers import NEG_INF, mask_to_additive
+    from monotonic_rnnt_tpu.ops.pallas import kernels as K
+    from monotonic_rnnt_tpu.ops.reference import compute_stats
+
+    rng = np.random.RandomState(11)
+    B, T, S, V = 3, 21, 6, 40
+    S1 = S + 1
+    logits = jnp.asarray(rng.randn(B, T, S1, V).astype(np.float32) * 2)
+    labels = jnp.asarray(rng.randint(1, V, size=(B, S)).astype(np.int32))
+    ilen = jnp.asarray(np.array([T, 13, 8], np.int32))
+    slen = jnp.asarray(np.array([S, 4, 0], np.int32))
+
+    stats = compute_stats(logits, labels, slen, 0)
+    masks = lattice_masks(ilen, slen, default_bands(ilen, slen, T), T, S1)
+    amask = mask_to_additive(masks.alpha)
+    bmask = mask_to_additive(masks.beta)
+    s_idx = jnp.arange(S1, dtype=jnp.int32)[None, :]
+    bvirt = mask_to_additive(s_idx == slen[:, None])
+
+    bt, b_pad, tt, t_pad = K.dp_tiles(B, T, 2 * S1)
+    pad = lambda x, f: jnp.pad(
+        x, ((0, b_pad - B), (0, t_pad - T), (0, 0)), constant_values=f)
+    lpb = pad(stats.lp_blank, 0.0)
+    lpl = pad(stats.lp_label, 0.0)
+    am_p, bm_p = pad(amask, NEG_INF), pad(bmask, NEG_INF)
+    ilen_p = jnp.pad(ilen, (0, b_pad - B), constant_values=1)[:, None, None]
+    bv_p = jnp.pad(bvirt, ((0, b_pad - B), (0, 0)), constant_values=NEG_INF)
+
+    a_ref = K.alpha_scan(lpb, lpl, am_p, interpret=True, tiles=(bt, tt))
+    b_ref = K.beta_scan(lpb, lpl, bm_p, ilen_p, bv_p, interpret=True,
+                        tiles=(bt, tt))
+    for unroll in (1, 4):
+        a_fb, b_fb = K.fwdbwd_scan(lpb, lpl, am_p, bm_p, ilen_p, bv_p,
+                                   interpret=True, tiles=(bt, tt),
+                                   unroll=unroll)
+        np.testing.assert_allclose(np.asarray(a_fb)[:B, :T],
+                                   np.asarray(a_ref)[:B, :T], atol=1e-5)
+        np.testing.assert_allclose(np.asarray(b_fb)[:B, :T],
+                                   np.asarray(b_ref)[:B, :T], atol=1e-5)
+
+
 def test_partial_stats_matches_oracle():
     # The TP path's pre-reduction kernel: (m, sum-exp) per cell, including
     # the multi-V-block online variant with an overhanging last block.

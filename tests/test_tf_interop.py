@@ -172,6 +172,87 @@ def test_tf_banded_padded_matches_jax():
                                atol=1e-6)
 
 
+def test_tf_saved_model_roundtrip_losses(tmp_path):
+    """SavedModel save/load of the jax2tf loss surface preserves outputs.
+
+    The packed numpy_function path is eager/in-process only by design; the
+    padded and banded XLA paths are the exportable contract (reference's
+    installable TF op role).
+    """
+    from monotonic_rnnt_tpu.interop.tf_binding import make_tf_loss_module
+    from monotonic_rnnt_tpu.ops.bands import (bands_from_alignment,
+                                              compute_band_layout, pack_band,
+                                              required_band_width)
+
+    logits, labels, ilen, slen = golden.readme_batch()
+    x = tf.constant(np.asarray(logits, np.float32))
+    labels_t, ilen_t, slen_t = (tf.constant(labels), tf.constant(ilen),
+                                tf.constant(slen))
+
+    bands = bands_from_alignment(jnp.asarray(golden.ALIGN_A[None]),
+                                 jnp.asarray(ilen), jnp.asarray(slen), 1, 0)
+    w = int(required_band_width(jnp.asarray(ilen), jnp.asarray(slen), bands,
+                                logits.shape[1], labels.shape[1] + 1))
+    layout = compute_band_layout(jnp.asarray(ilen), jnp.asarray(slen), bands,
+                                 logits.shape[1], labels.shape[1] + 1, w)
+    lb = tf.constant(np.asarray(pack_band(jnp.asarray(logits), layout)))
+    bmin, bmax = tf.constant(np.asarray(bands.min_s)), tf.constant(
+        np.asarray(bands.max_s))
+
+    module = make_tf_loss_module()
+    c_pad = module.padded(x, labels_t, ilen_t, slen_t)       # trace + value
+    c_band = module.banded(lb, labels_t, ilen_t, slen_t, bmin, bmax)
+    np.testing.assert_allclose(c_pad.numpy(), [golden.README_LOSS],
+                               atol=1e-4)
+
+    path = str(tmp_path / "mrnnt_tf")
+    tf.saved_model.save(
+        module, path,
+        options=tf.saved_model.SaveOptions(
+            experimental_custom_gradients=True))
+    loaded = tf.saved_model.load(path)
+    np.testing.assert_allclose(
+        loaded.padded(x, labels_t, ilen_t, slen_t).numpy(), c_pad.numpy(),
+        atol=1e-6)
+    np.testing.assert_allclose(
+        loaded.banded(lb, labels_t, ilen_t, slen_t, bmin, bmax).numpy(),
+        c_band.numpy(), atol=1e-6)
+
+
+def test_tf_saved_model_roundtrip_decoder(tmp_path):
+    """SavedModel decoder artifact (weights as variables) == JAX decode."""
+    import jax
+    from monotonic_rnnt_tpu.data.synthetic import tiny_batch
+    from monotonic_rnnt_tpu.interop.tf_binding import make_tf_decoder_module
+    from monotonic_rnnt_tpu.models.conformer import ConformerConfig
+    from monotonic_rnnt_tpu.models.predictor import PredictorConfig
+    from monotonic_rnnt_tpu.models.transducer import (MonotonicTransducer,
+                                                      TransducerConfig)
+
+    cfg = TransducerConfig(
+        encoder=ConformerConfig(num_layers=1, dim=64, num_heads=2,
+                                dropout=0.0),
+        predictor=PredictorConfig(vocab_size=32, dim=64, embed_dim=32),
+        joint_dim=64, vocab_size=32)
+    model = MonotonicTransducer(cfg)
+    feats, flen, labels, slen = (jnp.asarray(a) for a in tiny_batch(
+        batch=2, t=32, feat_dim=16, s=4, vocab=32))
+    params = model.init(jax.random.PRNGKey(0), feats, flen, labels, slen)
+    ref_hyp, ref_n = jax.jit(lambda p, f, fl: model.apply(
+        p, f, fl, 6, method="greedy_decode"))(params, feats, flen)
+
+    module = make_tf_decoder_module(model, params, 6)
+    hyp, n = module.decode(np.asarray(feats), np.asarray(flen))  # trace
+    np.testing.assert_array_equal(hyp.numpy(), np.asarray(ref_hyp))
+
+    path = str(tmp_path / "mrnnt_decoder")
+    tf.saved_model.save(module, path)
+    loaded = tf.saved_model.load(path)
+    hyp_l, n_l = loaded.decode(np.asarray(feats), np.asarray(flen))
+    np.testing.assert_array_equal(hyp_l.numpy(), np.asarray(ref_hyp))
+    np.testing.assert_array_equal(n_l.numpy(), np.asarray(ref_n))
+
+
 def test_tf_greedy_decoder_matches_jax():
     """jax2tf greedy decoder == JAX greedy decode (eager and tf.function)."""
     import jax
