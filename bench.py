@@ -81,45 +81,44 @@ def main():
         0, K, loss_body, (x, jnp.float32(0)))[1])
     t_loss16 = timed(loss16_loop, logits.astype(jnp.bfloat16), lambda r: r)
 
-    def stream_ceiling(dtype, k1=10, k2=4):
-        """Best-effort Pallas stream rate (GB/s), dispatch-corrected.
+    def stream_ceiling_total(dtype, k=8):
+        """Wall time of k UNROLLED dependent Pallas copies (+ nbytes moved).
 
-        Runs as an UNROLLED dependent copy chain: inside a fori_loop the
-        while-carry forces an extra full-tensor copy per iteration (a
-        pallas output cannot alias the carry), halving the apparent rate —
-        benchmarks/stream_bench.py documents the sweep. vmem_512 was the
-        fastest config (641 GB/s f32 on v5e through axon).
+        Unrolled because inside a fori_loop the while-carry forces an extra
+        full-tensor copy per iteration (a pallas output cannot alias the
+        carry), halving the apparent rate — benchmarks/stream_bench.py
+        documents the sweep; vmem_512 was the fastest config (~641 GB/s f32
+        on v5e through axon). The per-dispatch tunnel overhead is removed
+        later using the copy-loop pair's fit (one compile per dtype instead
+        of two).
         """
         if not on_tpu:
-            return None
+            return None, 0
         from monotonic_rnnt_tpu.ops.pallas.stream import stream_copy
 
         xc = jax.device_put(
             rng.randn(327680, 1024).astype(np.float32)).astype(dtype)
         cbytes = xc.size * xc.dtype.itemsize
 
-        def make_chain(k):
-            def chain(a):
-                for _ in range(k):
-                    a = stream_copy(a, mode="vmem", block_rows=512)
-                return a
-            return jax.jit(chain)
+        def chain(a):
+            for _ in range(k):
+                a = stream_copy(a, mode="vmem", block_rows=512)
+            return a
 
-        def run(k):
-            loop = make_chain(k)
+        loop = jax.jit(chain)
+        _ = np.asarray(loop(xc)[0, :2])
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
             _ = np.asarray(loop(xc)[0, :2])
-            best = float("inf")
-            for _ in range(3):
-                t0 = time.perf_counter()
-                _ = np.asarray(loop(xc)[0, :2])
-                best = min(best, time.perf_counter() - t0)
-            return best
+            best = min(best, time.perf_counter() - t0)
+        return best / k, 2 * cbytes
 
-        t1, t2 = run(k1), run(k2)
-        return 2 * cbytes / max((t1 - t2) / (k1 - k2), 1e-9)
-
-    ceil_f32 = stream_ceiling(jnp.float32)
-    ceil_bf16 = stream_ceiling(jnp.bfloat16)
+    # k=24 keeps the shared-overhead estimate (oh/k) small next to the
+    # per-copy time; iterations are cheap, compiles are not.
+    CEIL_K = 24
+    ceil_f32_t, ceil_bytes = stream_ceiling_total(jnp.float32, CEIL_K)
+    ceil_bf16_t, ceil_bytes16 = stream_ceiling_total(jnp.bfloat16, CEIL_K)
 
     def cost_body(i, carry):
         x, acc = carry
@@ -134,6 +133,25 @@ def main():
     cost_loop = jax.jit(lambda x: jax.lax.fori_loop(
         0, K, cost_body, (x, jnp.float32(0)))[1])
     t_cost = timed(cost_loop, logits, lambda r: r)
+
+    # Training-path figure: value_and_grad through the PUBLIC API. On the
+    # deferred-gradient route this is 3 big-tensor passes total (fwd one
+    # read; bwd one read + one write with the cotangent folded in-kernel)
+    # vs 5 for forward-produced grads + a cotangent scaling pass.
+    t_vjp = None
+    if on_tpu:
+        from monotonic_rnnt_tpu import monotonic_rnnt_loss as api_loss
+
+        def vjp_body(i, carry):
+            x, acc = carry
+            x = x.at[:, 0, 0, 0].add((acc * 1e-20).astype(x.dtype))
+            val, g = jax.value_and_grad(lambda lg: jnp.sum(
+                api_loss(lg, labels, ilen, slen)))(x)
+            return (x, val + g[0, 0, 0, 0].astype(jnp.float32))
+
+        vjp_loop = jax.jit(lambda x: jax.lax.fori_loop(
+            0, K, vjp_body, (x, jnp.float32(0)))[1])
+        t_vjp = timed(vjp_loop, logits, lambda r: r)
 
     hbm_bw = 2 * nbytes / t_copy                      # measured stream rate
     sol_time = 3 * nbytes / hbm_bw                    # 2 reads + 1 write
@@ -157,13 +175,17 @@ def main():
     hbm_bw_c = 2 * nbytes / t_copy_c
     roofline_frac_c = (3 * nbytes / hbm_bw_c) / t_loss_c
 
-    # bf16 corrected time + roofline vs the bf16 stream ceiling (the bf16
-    # pipeline moves half the bytes: 2 reads + 1 write of a bf16 tensor).
-    loss16_loop2 = jax.jit(lambda x: jax.lax.fori_loop(
-        0, K2, loss_body, (x, jnp.float32(0)))[1])
-    total16_2 = timed(loss16_loop2, logits.astype(jnp.bfloat16),
-                      lambda r: r) * K
-    t_loss16_c = (t_loss16 * K - total16_2) / (K - K2)
+    # The copy pair's fit gives the tunnel's fixed per-dispatch overhead;
+    # reuse it to dispatch-correct the single-compile measurements (bf16
+    # loss, stream ceilings) instead of paying a second compile for each.
+    oh = max(t_copy * K - K * t_copy_c, 0.0)
+    t_loss16_c = (t_loss16 * K - oh) / K
+    ceil_f32 = (ceil_bytes / max(ceil_f32_t - oh / CEIL_K, 1e-9)
+                if ceil_f32_t else None)
+    ceil_bf16 = (ceil_bytes16 / max(ceil_bf16_t - oh / CEIL_K, 1e-9)
+                 if ceil_bf16_t else None)
+    # bf16 roofline vs the bf16 stream ceiling (the bf16 pipeline moves half
+    # the bytes: 2 reads + 1 write of a bf16 tensor).
     bf16_roofline = ((3 * (nbytes // 2) / ceil_bf16) / t_loss16_c
                      if ceil_bf16 else None)
     # Also report the fraction against the chip's *spec* bandwidth so the
@@ -205,6 +227,9 @@ def main():
             "max_grad_err_vs_oracle": max_grad_err,
             "bf16_iter_ms": round(t_loss16 * 1e3, 3),
             "cost_only_iter_ms": round(t_cost * 1e3, 3),
+            "train_vjp_iter_ms": (round(t_vjp * 1e3, 3) if t_vjp else None),
+            "train_vjp_iter_ms_corrected": (
+                round((t_vjp - oh / K) * 1e3, 3) if t_vjp else None),
             "copy_ceiling_f32_GBps": (round(ceil_f32 / 1e9, 1)
                                       if ceil_f32 else None),
             "copy_ceiling_bf16_GBps": (round(ceil_bf16 / 1e9, 1)

@@ -81,15 +81,43 @@ def _loss_core(logits, labels, input_lengths, label_lengths, band_min,
 
 def _loss_fwd(logits, labels, input_lengths, label_lengths, band_min,
               band_max, blank_id, backend):
+    if backend == "pallas":
+        from .pallas.fused import (deferred_grad_supported,
+                                   rnnt_loss_pallas_deferred_fwd)
+
+        if deferred_grad_supported(jnp.shape(logits)):
+            # Deferred-gradient route: forward is ONE read of the logits;
+            # the beta+gradient pass runs in the bwd rule with the cost
+            # cotangent folded into the occupancy coefficients in-kernel.
+            # vs the forward-produced route, a training step saves a full
+            # read+write of the big tensor (the cotangent scaling pass)
+            # and keeps four [B, T, S1] residuals instead of [B, T, S1, V].
+            costs, res = rnnt_loss_pallas_deferred_fwd(
+                logits, labels, input_lengths, label_lengths,
+                blank_id=blank_id, bands=Bands(band_min, band_max))
+            return costs, {"deferred": (logits, labels, input_lengths,
+                                        label_lengths, band_min, band_max,
+                                        res)}
     costs, grads = _run(logits, labels, input_lengths, label_lengths,
                         Bands(band_min, band_max), blank_id, backend,
                         with_grads=True)
     # Zero-size marker array records the primal dtype for the cotangent cast.
-    return costs, (grads, jnp.zeros((0,), jnp.asarray(logits).dtype))
+    return costs, {"eager": (grads,
+                             jnp.zeros((0,), jnp.asarray(logits).dtype))}
 
 
 def _loss_bwd(blank_id, backend, residuals, cost_cotangent):
-    grads, dtype_marker = residuals
+    if "deferred" in residuals:
+        from .pallas.fused import rnnt_loss_pallas_deferred_bwd
+
+        (logits, labels, input_lengths, label_lengths, band_min, band_max,
+         res) = residuals["deferred"]
+        dlogits = rnnt_loss_pallas_deferred_bwd(
+            logits, labels, input_lengths, label_lengths, res,
+            cost_cotangent, blank_id=blank_id,
+            bands=Bands(band_min, band_max))
+        return (dlogits, None, None, None, None, None)
+    grads, dtype_marker = residuals["eager"]
     dlogits = (grads * cost_cotangent[:, None, None, None]).astype(
         dtype_marker.dtype)
     return (dlogits, None, None, None, None, None)

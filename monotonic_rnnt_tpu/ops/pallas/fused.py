@@ -123,14 +123,9 @@ def rnnt_loss_pallas(
     return costs, grads
 
 
-def _pipeline_dp_fused(logits, labels_ext, ilen, slen, bands, blank_id,
-                       with_grads, interpret, tiles):
-    """DP-fused orchestration: two big-tensor passes, zero exposed scans.
-
-    Produces bit-identical results to the split pipeline (the kernels fold
-    the window masks via LSE(a, b) + m == LSE(a + m, b + m) and substitute
-    the identical virtual-boundary rows); only the scheduling differs.
-    """
+def _dp_fused_alpha_half(logits, labels_ext, ilen, slen, bands, blank_id,
+                         interpret, tiles):
+    """stats_alpha_fused + windows + ll gather (the one-read forward)."""
     batch, t_max, s1, v = logits.shape
     a_lo, a_hi, b_lo, b_hi = _window_bounds(ilen, slen, bands, t_max, s1)
     t_idx = jnp.arange(t_max, dtype=jnp.int32)[None, :]
@@ -146,10 +141,16 @@ def _pipeline_dp_fused(logits, labels_ext, ilen, slen, bands, blank_id,
         jnp.take_along_axis(alphas, jnp.clip(ilen - 1, 0)[:, None, None],
                             axis=1)[:, 0, :],
         slen[:, None], axis=1)[:, 0]
-    costs = -ll_fwd
-    if not with_grads:
-        return costs, None
+    return (denom, lp_blank, lp_label, alphas, ll_fwd,
+            (b_lo, b_hi, valid_t))
 
+
+def _dp_fused_grad_half(logits, labels_ext, ilen, slen, blank_id, interpret,
+                        tiles, denom, lp_blank, lp_label, alphas, ll_fwd,
+                        bwin, grad_scale=None):
+    """beta_grad_fused + its small-array glue (the read+write backward)."""
+    batch, t_max, s1, _ = logits.shape
+    b_lo, b_hi, valid_t = bwin
     s_idx = jnp.arange(s1, dtype=jnp.int32)[None, None, :]
     badd = jnp.where((s_idx >= b_lo[:, :, None]) & (s_idx <= b_hi[:, :, None]),
                      0.0, NEG_INF).astype(jnp.float32)
@@ -167,6 +168,98 @@ def _pipeline_dp_fused(logits, labels_ext, ilen, slen, bands, blank_id,
     grads, betas = beta_grad_fused(
         logits, denom, lp_blank + badd, lp_label + badd, aprev_m,
         ilen[:, None, None], llb[:, None, None], beta_virtual, labels_ext,
-        blank_id, out_dtype=logits.dtype, interpret=interpret, tiles=tiles)
+        blank_id, out_dtype=logits.dtype, interpret=interpret, tiles=tiles,
+        grad_scale=grad_scale)
     emit_loss_debug(ll_fwd, betas[:, 0, 0], grads)
+    return grads
+
+
+def _pipeline_dp_fused(logits, labels_ext, ilen, slen, bands, blank_id,
+                       with_grads, interpret, tiles):
+    """DP-fused orchestration: two big-tensor passes, zero exposed scans.
+
+    Produces bit-identical results to the split pipeline (the kernels fold
+    the window masks via LSE(a, b) + m == LSE(a + m, b + m) and substitute
+    the identical virtual-boundary rows); only the scheduling differs.
+    """
+    denom, lp_blank, lp_label, alphas, ll_fwd, bwin = _dp_fused_alpha_half(
+        logits, labels_ext, ilen, slen, bands, blank_id, interpret, tiles)
+    costs = -ll_fwd
+    if not with_grads:
+        return costs, None
+    grads = _dp_fused_grad_half(logits, labels_ext, ilen, slen, blank_id,
+                                interpret, tiles, denom, lp_blank, lp_label,
+                                alphas, ll_fwd, bwin)
     return costs, grads
+
+
+def deferred_grad_supported(logits_shape) -> bool:
+    """True when the deferred-gradient route (fwd 1 read, bwd 1 read +
+    1 write, cotangent folded in-kernel) applies to this shape."""
+    batch, t_max, s1, v = logits_shape
+    return fused_dp_tiles(batch, t_max, s1, v) is not None
+
+
+def rnnt_loss_pallas_deferred_fwd(logits, labels, input_lengths,
+                                  label_lengths, blank_id: int = 0,
+                                  bands: Optional[Bands] = None,
+                                  interpret: Optional[bool] = None):
+    """Cost-only forward keeping SMALL residuals for a deferred gradient.
+
+    The reference (and rnnt_loss_pallas) produce gradients during the
+    forward pass, which costs an extra full read+write of the big tensor
+    when the caller later scales them by the loss cotangent, and keeps a
+    [B, T, S1, V] residual alive. This route runs ONE read now and defers
+    the beta+gradient pass to rnnt_loss_pallas_deferred_bwd with the
+    cotangent folded into the occupancy coefficients in-kernel: training
+    traffic drops from 5 big-tensor passes to 3, and the residuals are
+    four [B, T, S1] f32 arrays instead of the gradient tensor.
+
+    Returns (costs [B] f32, residuals tuple to pass to the bwd).
+    """
+    cfg = get_config()
+    if interpret is None:
+        interpret = cfg.interpret
+    batch, t_max, s1, v = logits.shape
+    ilen = input_lengths.astype(jnp.int32)
+    slen = label_lengths.astype(jnp.int32)
+    if bands is None:
+        bands = default_bands(ilen, slen, t_max)
+    labels_ext = extend_labels(labels, slen, s1)
+    tiles = fused_dp_tiles(batch, t_max, s1, v)
+    denom, lp_blank, lp_label, alphas, ll_fwd, _ = _dp_fused_alpha_half(
+        logits, labels_ext, ilen, slen, bands, blank_id, interpret, tiles)
+    return -ll_fwd, (denom, lp_blank, lp_label, alphas, ll_fwd)
+
+
+def rnnt_loss_pallas_deferred_bwd(logits, labels, input_lengths,
+                                  label_lengths, residuals, cost_cotangent,
+                                  blank_id: int = 0,
+                                  bands: Optional[Bands] = None,
+                                  interpret: Optional[bool] = None):
+    """The deferred beta+gradient pass; returns dlogits (logits dtype).
+
+    cost_cotangent: [B] — dL/dcosts, folded into the coefficients
+    in-kernel (so dlogits == cost_cotangent[:, None, None, None] * grads
+    up to one multiply's rounding).
+    """
+    cfg = get_config()
+    if interpret is None:
+        interpret = cfg.interpret
+    batch, t_max, s1, v = logits.shape
+    ilen = input_lengths.astype(jnp.int32)
+    slen = label_lengths.astype(jnp.int32)
+    if bands is None:
+        bands = default_bands(ilen, slen, t_max)
+    labels_ext = extend_labels(labels, slen, s1)
+    tiles = fused_dp_tiles(batch, t_max, s1, v)
+    denom, lp_blank, lp_label, alphas, ll_fwd = residuals
+    a_lo, a_hi, b_lo, b_hi = _window_bounds(ilen, slen, bands, t_max, s1)
+    t_idx = jnp.arange(t_max, dtype=jnp.int32)[None, :]
+    valid_t = t_idx < ilen[:, None]
+    b_hi = jnp.where(valid_t, b_hi, -1)
+    scale = cost_cotangent.astype(jnp.float32)[:, None, None]
+    return _dp_fused_grad_half(logits, labels_ext, ilen, slen, blank_id,
+                               interpret, tiles, denom, lp_blank, lp_label,
+                               alphas, ll_fwd, (b_lo, b_hi, valid_t),
+                               grad_scale=scale)

@@ -532,9 +532,9 @@ def stats_alpha_fused(logits, labels_ext, a_lo, a_hi, blank_id: int,
 
 
 def _beta_grad_kernel(x_ref, denom_ref, lpbb_ref, lplb_ref, aprev_ref,
-                      ilen_ref, llb_ref, bvirt_ref, lab_ref, grad_ref,
-                      betas_ref, carry, occ_sc, cb_sc, cl_sc, *, blank_id,
-                      v_total, vt):
+                      ilen_ref, llb_ref, scale_ref, bvirt_ref, lab_ref,
+                      grad_ref, betas_ref, carry, occ_sc, cb_sc, cl_sc, *,
+                      blank_id, v_total, vt):
     """In-kernel beta DP + occupancy coefficients + fused gradient.
 
     Grid (T, nV) with t DESCENDING (reverse index maps) so the beta carry
@@ -565,12 +565,15 @@ def _beta_grad_kernel(x_ref, denom_ref, lpbb_ref, lplb_ref, aprev_ref,
         betas_ref[:, t, :] = new
         # Occupancy coefficients, same op order as the XLA oracle
         # (exp(aprev + b - ll)) for bit-exact gradients; aprev arrives
-        # pre-masked to -inf on invalid cells, so exp == 0 there.
+        # pre-masked to -inf on invalid cells, so exp == 0 there. The
+        # per-sample scale folds the cost cotangent into the coefficients
+        # (deferred-gradient path) — 1.0 on the forward-produced path.
         ap = aprev_ref[:, t, :]
         llb = llb_ref[:, 0, :]                              # [B, 1]
-        occ_sc[...] = jnp.exp(ap + new - llb)
-        cb_sc[...] = jnp.exp(ap + nxt - llb)
-        cl_sc[...] = jnp.exp(ap + _shift_down_s(nxt) - llb)
+        sc = scale_ref[:, 0, :]                             # [B, 1]
+        occ_sc[...] = sc * jnp.exp(ap + new - llb)
+        cb_sc[...] = sc * jnp.exp(ap + nxt - llb)
+        cl_sc[...] = sc * jnp.exp(ap + _shift_down_s(nxt) - llb)
 
     x = x_ref[:, 0].astype(jnp.float32)                     # [B, S1, VT]
     p = jnp.exp(x + denom_ref[:, t, :][..., None])
@@ -587,7 +590,7 @@ def _beta_grad_kernel(x_ref, denom_ref, lpbb_ref, lplb_ref, aprev_ref,
 def beta_grad_fused(logits, denom, lpb_bmask, lpl_bmask, aprev_masked,
                     input_lengths, ll_bounded, beta_virtual, labels_ext,
                     blank_id: int, out_dtype=jnp.float32,
-                    interpret: bool = False, tiles=None):
+                    interpret: bool = False, tiles=None, grad_scale=None):
     """One-read-one-write fused beta scan + occupancy + gradient pass.
 
     lpb_bmask / lpl_bmask: stats with the beta window mask pre-folded.
@@ -596,14 +599,18 @@ def beta_grad_fused(logits, denom, lpb_bmask, lpl_bmask, aprev_masked,
     coefficients become exp(aprev + beta - ll) with no masking left.
     input_lengths [B, 1, 1] int32; ll_bounded [B, 1, 1] f32 (ll, 0 where
     infeasible); beta_virtual [B, S1] f32; labels_ext [B, S1].
+    grad_scale: optional [B, 1, 1] f32 per-sample gradient scale (the cost
+    cotangent on the deferred-gradient path); None = 1.
     Returns (grads [B, T, S1, V] out_dtype, betas [B, T, S1] f32).
     """
     batch, t_max, s1, v = logits.shape
     _, vt = tiles or fused_dp_tiles(batch, t_max, s1, v)
     grid = (t_max, pl.cdiv(v, vt))
 
+    if grad_scale is None:
+        grad_scale = jnp.ones((batch, 1, 1), jnp.float32)
     vma = _vma(logits, denom, lpb_bmask, lpl_bmask, aprev_masked,
-               input_lengths, ll_bounded)
+               input_lengths, ll_bounded, grad_scale)
     big_spec = pl.BlockSpec(
         (batch, 1, s1, vt),
         lambda j, jv: (0, pl.num_programs(0) - 1 - j, 0, jv),
@@ -618,7 +625,8 @@ def beta_grad_fused(logits, denom, lpb_bmask, lpl_bmask, aprev_masked,
                           vt=vt),
         grid=grid,
         in_specs=[big_spec, resident, resident, resident, resident,
-                  one_spec(1), one_spec(1), one_spec(s1), one_spec(s1)],
+                  one_spec(1), one_spec(1), one_spec(1), one_spec(s1),
+                  one_spec(s1)],
         out_specs=(big_spec, resident),
         out_shape=(_struct((batch, t_max, s1, v), out_dtype, vma),
                    _struct((batch, t_max, s1), jnp.float32, vma)),
@@ -631,7 +639,8 @@ def beta_grad_fused(logits, denom, lpb_bmask, lpl_bmask, aprev_masked,
             vmem_limit_bytes=_VMEM_LIMIT.vmem_limit_bytes),
         interpret=interpret,
     )(logits, denom, lpb_bmask, lpl_bmask, aprev_masked, input_lengths,
-      ll_bounded, beta_virtual[:, None, :], labels_ext[:, None, :])
+      ll_bounded, grad_scale, beta_virtual[:, None, :],
+      labels_ext[:, None, :])
     return grads, betas
 
 

@@ -203,3 +203,90 @@ def test_partial_stats_matches_oracle():
                                    rtol=1e-6)
         exp_se = np.sum(np.exp(np.asarray(x) - np.asarray(m)[..., None]), -1)
         np.testing.assert_allclose(np.asarray(se), exp_se, rtol=1e-5)
+
+
+def test_stream_copy_modes_exact():
+    # Bandwidth-calibration kernels must be exact copies (the dependent
+    # chains in bench.py/stream_bench.py rely on value preservation).
+    from monotonic_rnnt_tpu.ops.pallas.stream import stream_copy
+
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.randn(1024, 256).astype(np.float32))
+    for mode, kw in (("vmem", dict(block_rows=128)),
+                     ("vmem", dict(block_rows=512)),
+                     ("dma", dict(nbuf=1)), ("dma", dict(nbuf=4))):
+        y = stream_copy(x, mode=mode, interpret=True, **kw)
+        assert np.array_equal(np.asarray(y), np.asarray(x)), (mode, kw)
+    with pytest.raises(ValueError):
+        stream_copy(x, mode="vmem", block_rows=100, interpret=True)
+    with pytest.raises(ValueError):
+        stream_copy(x, mode="dma", nbuf=3, interpret=True)
+
+
+@pytest.mark.slow
+def test_pipeline_split_fallback_matches_oracle():
+    # Shapes whose resident [B, T, S1] footprint exceeds the DP-fused
+    # budget must take the split pipeline (stats/fwdbwd/grad) and still
+    # match the oracle end-to-end.
+    from monotonic_rnnt_tpu.ops.pallas.kernels import fused_dp_tiles
+
+    B, T, S, V = 8, 360, 299, 8
+    assert fused_dp_tiles(B, T, S + 1, V) is None
+    rng = np.random.RandomState(13)
+    ilen = rng.randint(S + 1, T + 1, size=(B,)).astype(np.int32)
+    slen = rng.randint(0, S + 1, size=(B,)).astype(np.int32)
+    logits, labels, ilen, slen = _random_case(13, B, T, S, V, ilen, slen)
+    c_ref, g_ref = rnnt_loss_reference(logits, labels, ilen, slen)
+    c_pal, g_pal = rnnt_loss_pallas(logits, labels, ilen, slen,
+                                    interpret=True)
+    np.testing.assert_allclose(np.asarray(c_pal), np.asarray(c_ref),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(g_pal), np.asarray(g_ref),
+                               rtol=1e-4, atol=1e-5)
+
+    # And a shape that DOES fit must take the DP-fused path.
+    assert fused_dp_tiles(4, 37, 10, 21) is not None
+
+
+def test_deferred_gradient_route_matches_reference():
+    # Differentiating the public API with backend='pallas' takes the
+    # deferred route (fwd = one stats+alpha read; bwd = beta+grad with the
+    # cotangent folded in-kernel). Costs and weighted gradients must match
+    # the reference backend, including an infeasible sample (inf cost,
+    # finite zero grads).
+    import jax
+    from monotonic_rnnt_tpu.ops.loss import monotonic_rnnt_loss
+    from monotonic_rnnt_tpu.ops.pallas.fused import deferred_grad_supported
+    from monotonic_rnnt_tpu.utils.debug import interpret_mode
+
+    rng = np.random.RandomState(17)
+    B, T, S, V = 3, 14, 5, 40
+    logits = jnp.asarray(rng.randn(B, T, S + 1, V).astype(np.float32) * 2)
+    labels = jnp.asarray(rng.randint(1, V, size=(B, S)).astype(np.int32))
+    ilen = jnp.asarray(np.array([T, 9, 6], np.int32))
+    slen = jnp.asarray(np.array([S, 3, 0], np.int32))
+    assert deferred_grad_supported(logits.shape)
+    w = jnp.asarray([1.0, -0.5, 2.0], jnp.float32)
+
+    def total(lg, backend):
+        return jnp.sum(w * monotonic_rnnt_loss(lg, labels, ilen, slen,
+                                               backend=backend))
+
+    with interpret_mode():
+        v_pal, g_pal = jax.jit(jax.value_and_grad(
+            lambda lg: total(lg, "pallas")))(logits)
+    v_ref, g_ref = jax.jit(jax.value_and_grad(
+        lambda lg: total(lg, "reference")))(logits)
+    np.testing.assert_allclose(float(v_pal), float(v_ref), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(g_pal), np.asarray(g_ref),
+                               rtol=1e-4, atol=1e-6)
+
+    # Infeasible lattice (S_b > T_b): cost inf, gradient exactly zero.
+    bad_slen = jnp.asarray(np.array([S, 3, 5], np.int32))
+    with interpret_mode():
+        c_bad, g_bad = jax.jit(jax.value_and_grad(lambda lg: jnp.sum(
+            monotonic_rnnt_loss(lg, labels, jnp.asarray([T, 9, 4]),
+                                bad_slen, backend="pallas"))))(logits)
+    assert not np.isfinite(float(c_bad))
+    assert np.all(np.asarray(g_bad)[2] == 0.0)
+    assert np.isfinite(np.asarray(g_bad)).all()
