@@ -288,14 +288,38 @@ def _banded_core(logits_band, labels, input_lengths, label_lengths, band_min,
 
 def _banded_fwd(logits_band, labels, input_lengths, label_lengths, band_min,
                 band_max, blank_id, backend):
+    if backend == "pallas":
+        # Deferred-gradient route: the forward runs stats + the V-free
+        # bidirectional walk only (one read of the band tensor); the grad
+        # pass (one read + one write) runs in the bwd rule with the cost
+        # cotangent folded into the occupancy coefficients. Saves a full
+        # read+write of [B, T, W, V] per training step vs scaling
+        # forward-produced grads, and keeps [B, T, W] residuals instead.
+        from .pallas.banded import banded_deferred_fwd
+
+        costs, res = banded_deferred_fwd(
+            logits_band, labels, input_lengths, label_lengths,
+            Bands(band_min, band_max), blank_id)
+        return costs, {"deferred": (logits_band, labels, input_lengths,
+                                    label_lengths, band_min, band_max, res)}
     costs, grads = _run_banded(logits_band, labels, input_lengths,
                                label_lengths, Bands(band_min, band_max),
                                blank_id, backend, with_grads=True)
-    return costs, (grads, jnp.zeros((0,), jnp.asarray(logits_band).dtype))
+    return costs, {"eager": (grads,
+                             jnp.zeros((0,), jnp.asarray(logits_band).dtype))}
 
 
 def _banded_bwd(blank_id, backend, residuals, cost_cotangent):
-    grads, dtype_marker = residuals
+    if "deferred" in residuals:
+        from .pallas.banded import banded_deferred_bwd
+
+        (logits_band, labels, input_lengths, label_lengths, band_min,
+         band_max, res) = residuals["deferred"]
+        dlogits = banded_deferred_bwd(
+            logits_band, labels, input_lengths, label_lengths,
+            Bands(band_min, band_max), res, cost_cotangent, blank_id)
+        return (dlogits, None, None, None, None, None)
+    grads, dtype_marker = residuals["eager"]
     dlogits = (grads * cost_cotangent[:, None, None, None]).astype(
         dtype_marker.dtype)
     return (dlogits, None, None, None, None, None)

@@ -41,6 +41,21 @@ def rnnt_loss_banded_pallas(
 
     Same contract as ops.banded.rnnt_loss_banded_reference.
     """
+    costs, parts = _banded_fwd_parts(logits_band, labels, input_lengths,
+                                     label_lengths, bands, blank_id,
+                                     with_grads, interpret)
+    if not with_grads:
+        return costs, None
+    denom, alphas, betas, ll_fwd = parts
+    grads = _banded_grad_part(logits_band, labels, input_lengths,
+                              label_lengths, bands, blank_id, interpret,
+                              denom, alphas, betas, ll_fwd)
+    return costs, grads
+
+
+def _banded_fwd_parts(logits_band, labels, input_lengths, label_lengths,
+                      bands, blank_id, with_betas, interpret):
+    """Stats + DP scans; returns (costs, (denom, alphas, betas, ll))."""
     cfg = get_config()
     if interpret is None:
         interpret = cfg.interpret
@@ -54,7 +69,7 @@ def rnnt_loss_banded_pallas(
     rel_bounds = band_relative_bounds(ilen, slen, bands, layout, t_max, s1)
 
     stats = softmax_stats_banded(logits_band, lab_band, rel_bounds, blank_id,
-                                 with_beta=with_grads, interpret=interpret)
+                                 with_beta=with_betas, interpret=interpret)
 
     # Pad B/T so every DP block is full; pad value NEG_INF keeps padded rows
     # off-lattice.
@@ -66,7 +81,7 @@ def rnnt_loss_banded_pallas(
 
     d_p = _pad_small(layout.d[:, :, None], 0)
 
-    if with_grads:
+    if with_betas:
         denom, lpba, lpla, lpbb, lplb = stats
         # One bidirectional kernel advances both serial chains per step —
         # the scans' wall time is loop/dependency latency, not VPU work.
@@ -82,19 +97,62 @@ def rnnt_loss_banded_pallas(
         betas = betas[:batch, :t_max]
     else:
         denom, lpba, lpla = stats
+        betas = None
         alphas = alpha_scan_banded(_pad_small(lpba, NEG_INF),
                                    _pad_small(lpla, NEG_INF), d_p,
                                    interpret=interpret,
                                    tiles=(bt, tt))[:batch, :t_max]
 
     ll_fwd = band_final_slot(alphas, layout, ilen, slen)
-    costs = -ll_fwd
-    if not with_grads:
-        return costs, None
+    return -ll_fwd, (denom, alphas, betas, ll_fwd)
 
+
+def _banded_grad_part(logits_band, labels, input_lengths, label_lengths,
+                      bands, blank_id, interpret, denom, alphas, betas,
+                      ll_fwd, grad_scale=None):
+    """Occupancy coefficients (optionally cotangent-scaled) + grad pass."""
+    cfg = get_config()
+    if interpret is None:
+        interpret = cfg.interpret
+    batch, t_max, w, v = logits_band.shape
+    s1 = labels.shape[1] + 1
+    ilen = input_lengths.astype(jnp.int32)
+    slen = label_lengths.astype(jnp.int32)
+    layout = compute_band_layout(ilen, slen, bands, t_max, s1, w)
+    lab_band = band_labels(labels, slen, layout, s1)
     occ, cb, cl = band_occupancy_coefficients(alphas, betas, ll_fwd, ilen,
                                               slen, layout)
+    if grad_scale is not None:
+        sc = grad_scale.astype(jnp.float32)[:, None, None]
+        occ, cb, cl = occ * sc, cb * sc, cl * sc
     grads = grad_pass(logits_band, denom, occ, cb, cl, lab_band, blank_id,
                       out_dtype=logits_band.dtype, interpret=interpret)
     emit_loss_debug(ll_fwd, betas[:, 0, 0], grads)
-    return costs, grads
+    return grads
+
+
+def banded_deferred_fwd(logits_band, labels, input_lengths, label_lengths,
+                        bands: Bands, blank_id: int = 0,
+                        interpret: Optional[bool] = None):
+    """Banded forward keeping SMALL residuals for a deferred gradient.
+
+    One read of the band tensor + one bidirectional V-free walk; the
+    gradient pass (one read + one write) runs in banded_deferred_bwd with
+    the cost cotangent folded into the occupancy coefficients. Training
+    traffic over [B, T, W, V] drops from 5 passes to 3, and the residuals
+    are four [B, T, W] f32 arrays instead of the packed gradient tensor.
+    """
+    return _banded_fwd_parts(logits_band, labels, input_lengths,
+                             label_lengths, bands, blank_id, True, interpret)
+
+
+def banded_deferred_bwd(logits_band, labels, input_lengths, label_lengths,
+                        bands: Bands, residuals, cost_cotangent,
+                        blank_id: int = 0,
+                        interpret: Optional[bool] = None):
+    """The deferred banded gradient pass; returns packed-layout dlogits."""
+    denom, alphas, betas, ll_fwd = residuals
+    return _banded_grad_part(logits_band, labels, input_lengths,
+                             label_lengths, bands, blank_id, interpret,
+                             denom, alphas, betas, ll_fwd,
+                             grad_scale=cost_cotangent)

@@ -163,6 +163,56 @@ def main(argv=None):
 
     check("dp and dp-tp sharded losses (1-chip mesh)", sharded)
 
+    def sharded_grad():
+        # Differentiating the DP loss inside shard_map on the chip: the
+        # deferred-gradient route (custom-VJP bwd = beta_grad_fused with
+        # the cotangent folded in) must match the oracle's grads of the
+        # batch-mean loss.
+        from monotonic_rnnt_tpu.parallel import (make_data_parallel_loss,
+                                                 make_mesh)
+        rng = np.random.RandomState(6)
+        B = 4
+        logits = jnp.asarray(rng.randn(B, 32, 9, 512).astype(np.float32))
+        labels = jnp.asarray(rng.randint(1, 512, (B, 8)).astype(np.int32))
+        il = jnp.full((B,), 32, jnp.int32)
+        sl = jnp.full((B,), 8, jnp.int32)
+        mesh = make_mesh(data=1, model=1)
+        dp_loss = make_data_parallel_loss(mesh)
+        g = jax.jit(jax.grad(lambda x: dp_loss(x, labels, il, sl)))(logits)
+        _, g_ref = f_ref(logits, labels, il, sl)
+        err = float(jnp.max(jnp.abs(g - g_ref / B)))
+        assert err < 1e-4, err
+
+    check("dp sharded gradient (deferred route, 1-chip mesh)", sharded_grad)
+
+    def deferred_gradient_route():
+        # Public-API vjp (deferred: fwd one read, bwd beta+grad with the
+        # cotangent in-kernel) == forward-produced grads * cotangent.
+        from monotonic_rnnt_tpu import monotonic_rnnt_loss
+
+        rng = np.random.RandomState(8)
+        B, T, S, V = 4, 40, 9, 300
+        logits = jnp.asarray(rng.randn(B, T, S + 1, V).astype(np.float32))
+        labels = jnp.asarray(rng.randint(1, V, (B, S)).astype(np.int32))
+        il = jnp.asarray(np.array([T, 30, 12, T], np.int32))
+        sl = jnp.asarray(np.array([S, 4, 0, S], np.int32))
+        ct = jnp.asarray(rng.randn(B).astype(np.float32))
+
+        def run(x):
+            costs, vjp = jax.vjp(lambda lg: monotonic_rnnt_loss(
+                lg, labels, il, sl, backend="pallas"), x)
+            return costs, vjp(ct)[0]
+
+        costs, g = jax.jit(run)(logits)
+        c2, g2 = f_pal(logits, labels, il, sl)
+        want = g2 * ct[:, None, None, None]
+        cerr = float(jnp.max(jnp.abs(costs - c2)))
+        gerr = float(jnp.max(jnp.abs(g - want)))
+        assert cerr == 0.0 and gerr < 1e-5, (cerr, gerr)
+
+    check("deferred-gradient route == forward-produced grads * ct",
+          deferred_gradient_route)
+
     def banded_packed(B, T, S, V, shift, seed=0, atol_c=1e-3, atol_g=2e-3):
         from monotonic_rnnt_tpu.ops.banded import rnnt_loss_banded_reference
         from monotonic_rnnt_tpu.ops.bands import (compute_band_layout,

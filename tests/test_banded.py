@@ -356,3 +356,46 @@ def test_fwdbwd_scan_banded_multi_t_block():
                                rtol=1e-6, atol=1e-6)
     np.testing.assert_allclose(np.asarray(b4), np.asarray(b1),
                                rtol=1e-6, atol=1e-6)
+
+
+def test_banded_deferred_gradient_route_matches_reference():
+    # Differentiating the banded public API with backend='pallas' takes the
+    # deferred route (fwd = stats + bidirectional walk; bwd = cotangent-
+    # scaled occupancy + grad pass). Weighted gradients must match the
+    # reference backend.
+    import jax
+    from monotonic_rnnt_tpu.ops.banded import monotonic_rnnt_loss_banded
+    from monotonic_rnnt_tpu.ops.bands import (bands_from_alignment,
+                                              compute_band_layout, pack_band,
+                                              required_band_width)
+    from monotonic_rnnt_tpu.utils.debug import interpret_mode
+
+    rng = np.random.RandomState(23)
+    B, T, S, V = 2, 18, 5, 33
+    logits = jnp.asarray(rng.randn(B, T, S + 1, V).astype(np.float32) * 2)
+    labels = jnp.asarray(rng.randint(1, V, (B, S)).astype(np.int32))
+    ilen = jnp.asarray(np.array([T, 11], np.int32))
+    slen = jnp.asarray(np.array([S, 3], np.int32))
+    align = np.zeros((B, T), np.int32)
+    for b in range(B):
+        pos = np.sort(rng.choice(int(ilen[b]), size=int(slen[b]),
+                                 replace=False))
+        align[b, pos] = np.asarray(labels)[b, :int(slen[b])]
+    bands = bands_from_alignment(jnp.asarray(align), ilen, slen, 2, 0)
+    w = int(required_band_width(ilen, slen, bands, T, S + 1))
+    layout = compute_band_layout(ilen, slen, bands, T, S + 1, w)
+    lb = pack_band(logits, layout)
+    wgt = jnp.asarray([1.5, -0.25], jnp.float32)
+
+    def total(x, backend):
+        return jnp.sum(wgt * monotonic_rnnt_loss_banded(
+            x, labels, ilen, slen, bands=bands, backend=backend))
+
+    with interpret_mode():
+        v_pal, g_pal = jax.jit(jax.value_and_grad(
+            lambda x: total(x, "pallas")))(lb)
+    v_ref, g_ref = jax.jit(jax.value_and_grad(
+        lambda x: total(x, "reference")))(lb)
+    np.testing.assert_allclose(float(v_pal), float(v_ref), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(g_pal), np.asarray(g_ref),
+                               rtol=1e-4, atol=1e-6)
