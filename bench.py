@@ -34,7 +34,11 @@ def main():
 
     B, T, S, V = 32, 200, 50, 1000
     S1 = S + 1
-    K = 30
+    # K=60 dependent iterations per jit: the axon tunnel adds ~30 ms fixed
+    # cost per dispatch, so the uncorrected per-iter time carries oh/K of
+    # artifact — 0.5 ms at K=60 (was 1 ms at K=30 through round 2; the
+    # two-point corrected figures are K-independent).
+    K = 60
     nbytes = B * T * S1 * V * 4
     on_tpu = jax.default_backend() != "cpu"
 

@@ -35,51 +35,58 @@ from ..ops.reference import (forward_backward, gradients_from_coefficients,
 from .mesh import DATA_AXIS, MODEL_AXIS
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(6, 7))
-def rnnt_loss_vocab_sharded(logits_local, labels, input_lengths,
-                            label_lengths, band_min, band_max, blank_id,
-                            axis_name):
-    costs, _ = _vocab_sharded_impl(logits_local, labels, input_lengths,
-                                   label_lengths, Bands(band_min, band_max),
-                                   blank_id, axis_name, with_grads=False)
-    return costs
-
-
-def _vocab_sharded_impl(logits_local, labels, input_lengths, label_lengths,
-                        bands, blank_id, axis_name, with_grads):
+def _vocab_sharded_parts(logits_local, labels, input_lengths, label_lengths,
+                         bands, blank_id, axis_name, compute_betas):
+    """Sharded stats + the V-free recursions; no gradient assembly."""
     x = logits_local.astype(jnp.float32)
     batch, t_max, s1, _ = x.shape
     ilen = input_lengths.astype(jnp.int32)
     slen = label_lengths.astype(jnp.int32)
     labels_ext = extend_labels(labels, slen, s1)
 
-    stats, v_offset = sharded_lattice_stats(x, labels_ext, blank_id,
-                                            axis_name)
+    stats, _ = sharded_lattice_stats(x, labels_ext, blank_id, axis_name)
     masks = lattice_masks(ilen, slen, bands, t_max, s1)
     alphas, betas, ll_fwd, _ = forward_backward(stats, masks, ilen, slen,
-                                                compute_betas=with_grads)
-    costs = -ll_fwd
-    if not with_grads:
-        return costs, None
-    occ, cb, cl = occupancy_coefficients(alphas, betas, ll_fwd, ilen, slen)
-    grads_local = gradients_from_coefficients(
-        x, stats.denom, labels, slen, occ, cb, cl, blank_id,
-        v_offset=v_offset)
-    return costs, grads_local
+                                                compute_betas=compute_betas)
+    return -ll_fwd, (stats.denom, alphas, betas, ll_fwd)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(6, 7))
+def rnnt_loss_vocab_sharded(logits_local, labels, input_lengths,
+                            label_lengths, band_min, band_max, blank_id,
+                            axis_name):
+    costs, _ = _vocab_sharded_parts(
+        logits_local, labels, input_lengths, label_lengths,
+        Bands(band_min, band_max), blank_id, axis_name, compute_betas=False)
+    return costs
 
 
 def _vs_fwd(logits_local, labels, input_lengths, label_lengths, band_min,
             band_max, blank_id, axis_name):
-    costs, grads = _vocab_sharded_impl(
+    # Deferred gradients (cf. ops/loss.py): the forward stops after the
+    # V-free recursions; the bwd rule assembles the local-shard gradient
+    # with the cost cotangent folded into the occupancy coefficients —
+    # saving one full read+write of the local shard per training step and
+    # keeping [B, T, S1] residuals instead of the local gradient tensor.
+    costs, (denom, alphas, betas, ll_fwd) = _vocab_sharded_parts(
         logits_local, labels, input_lengths, label_lengths,
-        Bands(band_min, band_max), blank_id, axis_name, with_grads=True)
-    return costs, (grads, jnp.zeros((0,), logits_local.dtype))
+        Bands(band_min, band_max), blank_id, axis_name, compute_betas=True)
+    return costs, (logits_local, labels, input_lengths, label_lengths,
+                   denom, alphas, betas, ll_fwd)
 
 
 def _vs_bwd(blank_id, axis_name, residuals, ct):
-    grads, marker = residuals
-    return (grads * ct[:, None, None, None]).astype(marker.dtype), \
-        None, None, None, None, None
+    (logits_local, labels, input_lengths, label_lengths, denom, alphas,
+     betas, ll_fwd) = residuals
+    ilen = input_lengths.astype(jnp.int32)
+    slen = label_lengths.astype(jnp.int32)
+    v_offset = jax.lax.axis_index(axis_name) * logits_local.shape[-1]
+    occ, cb, cl = occupancy_coefficients(alphas, betas, ll_fwd, ilen, slen)
+    sc = ct.astype(jnp.float32)[:, None, None]
+    grads = gradients_from_coefficients(
+        logits_local.astype(jnp.float32), denom, labels, slen, occ * sc,
+        cb * sc, cl * sc, blank_id, v_offset=v_offset)
+    return (grads.astype(logits_local.dtype), None, None, None, None, None)
 
 
 rnnt_loss_vocab_sharded.defvjp(_vs_fwd, _vs_bwd)
@@ -90,9 +97,10 @@ rnnt_loss_vocab_sharded.defvjp(_vs_fwd, _vs_bwd)
 # ---------------------------------------------------------------------------
 
 
-def _banded_vocab_sharded_impl(logits_band_local, labels, input_lengths,
-                               label_lengths, bands, blank_id, axis_name,
-                               with_grads):
+def _banded_vocab_sharded_parts(logits_band_local, labels, input_lengths,
+                                label_lengths, bands, blank_id, axis_name,
+                                compute_betas):
+    """Sharded banded stats + the V-free recursions; no gradient assembly."""
     x = logits_band_local.astype(jnp.float32)
     batch, t_max, w, _ = x.shape
     ilen = input_lengths.astype(jnp.int32)
@@ -103,17 +111,10 @@ def _banded_vocab_sharded_impl(logits_band_local, labels, input_lengths,
     masks = band_lattice_masks(ilen, slen, bands, layout, t_max, s1)
     lab_band = band_labels(labels, slen, layout, s1)
 
-    stats, v_offset = sharded_band_stats(x, lab_band, blank_id, axis_name)
+    stats, _ = sharded_band_stats(x, lab_band, blank_id, axis_name)
     alphas, betas, ll = band_forward_backward(
-        stats, masks, layout, ilen, slen, compute_betas=with_grads)
-    costs = -ll
-    if not with_grads:
-        return costs, None
-    occ, cb, cl = band_occupancy_coefficients(alphas, betas, ll, ilen, slen,
-                                              layout)
-    grads_local = band_gradients(x, stats.denom, lab_band, occ, cb, cl,
-                                 blank_id, v_offset=v_offset)
-    return costs, grads_local
+        stats, masks, layout, ilen, slen, compute_betas=compute_betas)
+    return -ll, (stats.denom, alphas, betas, ll)
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(6, 7))
@@ -127,24 +128,43 @@ def rnnt_loss_banded_vocab_sharded(logits_band_local, labels, input_lengths,
     inside shard_map with `axis_name` the model axis; gradients are produced
     for the local slice only, in the packed layout.
     """
-    costs, _ = _banded_vocab_sharded_impl(
+    costs, _ = _banded_vocab_sharded_parts(
         logits_band_local, labels, input_lengths, label_lengths,
-        Bands(band_min, band_max), blank_id, axis_name, with_grads=False)
+        Bands(band_min, band_max), blank_id, axis_name, compute_betas=False)
     return costs
 
 
 def _bvs_fwd(logits_band_local, labels, input_lengths, label_lengths,
              band_min, band_max, blank_id, axis_name):
-    costs, grads = _banded_vocab_sharded_impl(
+    # Deferred gradients on the packed layout (cf. _vs_fwd): forward stops
+    # after the V-free banded recursions; bwd assembles the local-slice
+    # gradient with the cotangent folded into the coefficients.
+    costs, (denom, alphas, betas, ll) = _banded_vocab_sharded_parts(
         logits_band_local, labels, input_lengths, label_lengths,
-        Bands(band_min, band_max), blank_id, axis_name, with_grads=True)
-    return costs, (grads, jnp.zeros((0,), logits_band_local.dtype))
+        Bands(band_min, band_max), blank_id, axis_name, compute_betas=True)
+    return costs, (logits_band_local, labels, input_lengths, label_lengths,
+                   band_min, band_max, denom, alphas, betas, ll)
 
 
 def _bvs_bwd(blank_id, axis_name, residuals, ct):
-    grads, marker = residuals
-    return (grads * ct[:, None, None, None]).astype(marker.dtype), \
-        None, None, None, None, None
+    (logits_band_local, labels, input_lengths, label_lengths, band_min,
+     band_max, denom, alphas, betas, ll) = residuals
+    ilen = input_lengths.astype(jnp.int32)
+    slen = label_lengths.astype(jnp.int32)
+    batch, t_max, w, v_local = logits_band_local.shape
+    s1 = labels.shape[1] + 1
+    layout = compute_band_layout(ilen, slen, Bands(band_min, band_max),
+                                 t_max, s1, w)
+    lab_band = band_labels(labels, slen, layout, s1)
+    v_offset = jax.lax.axis_index(axis_name) * v_local
+    occ, cb, cl = band_occupancy_coefficients(alphas, betas, ll, ilen, slen,
+                                              layout)
+    sc = ct.astype(jnp.float32)[:, None, None]
+    grads = band_gradients(logits_band_local.astype(jnp.float32), denom,
+                           lab_band, occ * sc, cb * sc, cl * sc, blank_id,
+                           v_offset=v_offset)
+    return (grads.astype(logits_band_local.dtype), None, None, None, None,
+            None)
 
 
 rnnt_loss_banded_vocab_sharded.defvjp(_bvs_fwd, _bvs_bwd)

@@ -54,20 +54,31 @@ def import_fn(blob: bytes) -> Callable:
 
 def export_loss(example_logits, example_labels, example_input_lengths,
                 example_label_lengths, *, blank_id: int = 0,
-                platforms: Sequence[str] = ("tpu", "cpu")) -> bytes:
-    """Export the monotonic RNN-T loss with forward-produced gradients.
+                platforms: Sequence[str] = ("tpu", "cpu"),
+                backend: str = "reference") -> bytes:
+    """Export the monotonic RNN-T loss with gradients.
 
     The artifact computes (costs [B], dlogits) in one call — the same
     contract as the reference's C entry point (costs + per-logit grads,
     src/rnnt_entrypoint.cpp:16-48), shape-specialized to the example batch.
+
+    backend: "reference" (default) lowers the platform-polymorphic XLA
+    oracle — one artifact serves every platform in `platforms`. "pallas"
+    embeds the fused TPU kernels (the deferred-gradient route) and
+    requires platforms=("tpu",); parity with the live pipeline is checked
+    on-chip each round (scripts/tpu_acceptance.py).
     """
     from .ops.loss import monotonic_rnnt_loss
+
+    if backend == "pallas" and tuple(platforms) != ("tpu",):
+        raise ValueError("backend='pallas' exports must use "
+                         "platforms=('tpu',)")
 
     def fn(logits, labels, input_lengths, label_lengths):
         costs, vjp = jax.vjp(
             lambda lg: monotonic_rnnt_loss(
                 lg, labels, input_lengths, label_lengths,
-                blank_id=blank_id, backend="reference"),
+                blank_id=blank_id, backend=backend),
             logits)
         grads, = vjp(jnp.ones_like(costs))
         return costs, grads
