@@ -221,6 +221,10 @@ def main():
         "unit": "Mcells/s",
         "vs_baseline": round(roofline_frac / 0.80, 3),
         "detail": {
+            # The uncorrected figures carry oh/K of tunnel-dispatch artifact
+            # (K was 30 through round 2, 60 from round 3) — compare rounds
+            # on the dispatch_corrected block, which is K-independent.
+            "iters_K": K,
             "iter_ms": round(t_loss * 1e3, 3),
             "measured_hbm_GBps": round(hbm_bw / 1e9, 1),
             "roofline_fraction": round(roofline_frac, 3),
@@ -240,6 +244,7 @@ def main():
                                        if ceil_bf16 else None),
             "dispatch_corrected": {
                 "iter_ms": round(t_loss_c * 1e3, 3),
+                "Mcells_per_s": round(B * T * S1 / t_loss_c / 1e6, 2),
                 "measured_hbm_GBps": round(hbm_bw_c / 1e9, 1),
                 "roofline_fraction": round(roofline_frac_c, 3),
                 "bf16_iter_ms": round(t_loss16_c * 1e3, 3),

@@ -13,32 +13,10 @@ Usage: python benchmarks/stream_bench.py [--rows 327680] [--cols 1024]
 import argparse
 import json
 import sys
-import time
 
 import numpy as np
 
 sys.path.insert(0, "/root/repo")
-
-
-def corrected_loop_bench(make_loop, arg, k1=24, k2=6):
-    """Best-of-3 per-iter seconds via the two-point dispatch correction.
-
-    Completion is forced by materializing a slice on the host —
-    block_until_ready does not actually block through the axon tunnel.
-    """
-
-    def run(k):
-        loop = make_loop(k)
-        _ = np.asarray(loop(arg)[0, :2])    # warmup (compile) + completion
-        best = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            _ = np.asarray(loop(arg)[0, :2])
-            best = min(best, time.perf_counter() - t0)
-        return best
-
-    t1, t2 = run(k1), run(k2)
-    return max((t1 - t2) / (k1 - k2), 1e-12)
 
 
 def main():
@@ -52,6 +30,7 @@ def main():
     import jax
     import jax.numpy as jnp
     from monotonic_rnnt_tpu.ops.pallas.stream import stream_copy
+    from monotonic_rnnt_tpu.utils.profiling import corrected_args_loop_bench
 
     results = {"device": str(jax.devices()[0]),
                "shape": [args.rows, args.cols], "configs": {}}
@@ -70,12 +49,12 @@ def main():
                    ("vmem_2048", ("vmem", 2048)),
                    ("dma_4", ("dma", 4))]
         if args.full:
-            configs += [("xla_loop", None), ("vmem_256", ("vmem", 256)),
+            configs += [("vmem_256", ("vmem", 256)),
                         ("vmem_1024", ("vmem", 1024)), ("dma_1", ("dma", 1)),
                         ("dma_8", ("dma", 8))]
 
         for name, cfg in configs:
-            if cfg == "xla" or cfg is None:
+            if cfg == "xla":
                 def body(y):
                     return y * 1.0000001 + jnp.asarray(1e-9, y.dtype)
             elif cfg[0] == "vmem":
@@ -85,7 +64,7 @@ def main():
                 def body(y, nb=cfg[1]):
                     return stream_copy(y, mode="dma", nbuf=nb)
 
-            if cfg == "xla" or cfg is None:
+            if cfg == "xla":
                 # The XLA RMW chain must run as a fori_loop: unrolled, XLA
                 # fuses the k multiply-adds into ONE pass over the tensor
                 # (meaningless TB/s). In the loop, XLA updates the carry
@@ -106,7 +85,7 @@ def main():
                         return a
                     return jax.jit(chain)
 
-            t = corrected_loop_bench(make_loop, x)
+            t = corrected_args_loop_bench(make_loop, (x,), iters=24)
             gbps = 2 * nbytes / t / 1e9
             results["configs"][f"{dname}/{name}"] = round(gbps, 1)
             print(f"{dname}/{name}: {gbps:.1f} GB/s", file=sys.stderr)

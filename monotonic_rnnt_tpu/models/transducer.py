@@ -326,17 +326,21 @@ class MonotonicTransducer(nn.Module):
         different emission timings) as distinct hypotheses; the score is a
         single best path's log-probability — the beam analogue of
         viterbi_alignment. merge_paths=True LSE-merges duplicates each frame
-        — exact within the beam, because at frame t a hypothesis's model
+        — sound within the beam, because at frame t a hypothesis's model
         state is fully determined by its label sequence — so the score
         approaches the sequence's marginal log-probability (-loss) as the
-        beam widens.
+        beam widens. Duplicates are detected by a 64-bit rolling sequence
+        fingerprint (O(K^2) per frame instead of comparing full token
+        buffers); a collision falsely merging two distinct sequences has
+        probability ~beam^2 / 2^64 per frame — negligible, but the merge
+        is probabilistic, not bitwise-exact.
 
         lm/lm_weight: shallow fusion with an external language model
         following the models/lm.py protocol (init_state/step). Label
         candidates score logp_am + lm_weight * logp_lm; blank is never
         LM-scored. Per-hypothesis LM states ride the beam exactly like
         predictor states (gathered by parent, advanced on emission), so
-        merge_paths stays exact: identical label sequences are in
+        merge_paths stays sound: identical label sequences are in
         identical LM state. The reported scores include the LM terms.
 
         Returns (tokens [B, beam, max_labels], lengths [B, beam],

@@ -413,12 +413,20 @@ def fused_dp_tiles(batch: int, t_max: int, s1: int, v: int):
     """
     s1r = round_up(s1, 8)
     row_bytes = batch * s1r * 4
-    vt = min(round_up(v, 128),
-             max(128, _VMEM_BUDGET_BYTES // row_bytes // 128 * 128))
+    # beta_grad_fused is the VMEM high-water mark: TWO double-buffered big
+    # blocks (logits in + grads out = 4x the block) alongside 5 resident
+    # [B, T, S1] arrays (4 streamed stats/alpha inputs + the betas output).
+    # Size vt so that whole declared footprint stays <= 40MB, leaving the
+    # rest of the 64MB scoped-VMEM limit (_VMEM_LIMIT) for Mosaic's vector
+    # temporaries — a block-only check passes shapes near the boundary that
+    # then fail compilation on the real chip (invisible in interpret mode).
     resident = 5 * batch * t_max * s1r * 4
-    if batch * s1r * vt * 4 > _VMEM_BUDGET_BYTES or \
-            resident > 2 * _VMEM_BUDGET_BYTES:
+    avail = 40 * 1024 * 1024 - resident
+    vt_cap = avail // (4 * row_bytes) // 128 * 128
+    if vt_cap < 128:
         return None
+    vt = min(round_up(v, 128), vt_cap,
+             max(128, _VMEM_BUDGET_BYTES // row_bytes // 128 * 128))
     return 1, int(vt)
 
 

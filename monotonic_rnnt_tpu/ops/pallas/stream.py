@@ -56,8 +56,8 @@ def stream_copy(x: jnp.ndarray, mode: str = "vmem", block_rows: int = 512,
             raise ValueError(f"rows {rows} not divisible by nbuf {nbuf}")
         return pl.pallas_call(
             functools.partial(_dma_copy_kernel, nbuf=nbuf, rows=rows),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
-            out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+            out_specs=pl.BlockSpec(memory_space=pl.ANY),
             out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
             scratch_shapes=[pltpu.SemaphoreType.DMA] * nbuf,
             interpret=interpret,

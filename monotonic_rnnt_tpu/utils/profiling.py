@@ -100,12 +100,20 @@ def corrected_args_loop_bench(
                          f"correction, got {iters}")
     lo = max(1, iters // 4)
 
+    def force(out):
+        # jax.block_until_ready does NOT actually block through the axon
+        # tunnel; transferring a couple of elements to the host does.
+        leaf = jax.tree.leaves(out)[0]
+        if leaf.ndim == 0:
+            return np.asarray(leaf)
+        return np.asarray(leaf[(0,) * (leaf.ndim - 1) + (slice(0, 2),)])
+
     def measure(fn, n):
-        jax.block_until_ready(fn(*args))          # compile + warm
+        force(fn(*args))                          # compile + warm
         ts = []
         for _ in range(trials):
             t0 = time.perf_counter()
-            jax.block_until_ready(fn(*args))
+            force(fn(*args))
             ts.append(time.perf_counter() - t0)
         return min(ts) / n
 

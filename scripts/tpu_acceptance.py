@@ -120,6 +120,40 @@ def main(argv=None):
 
     check("banded long-sequence (2,1600,200,1024, shift 20)", banded_long)
 
+    def vmem_boundary():
+        # A shape whose DP-fused declared VMEM footprint (2 double-buffered
+        # big blocks + 5 resident [B,T,S1] arrays) sits right at the 40MB
+        # budget fused_dp_tiles enforces: must COMPILE under the 64MB
+        # scoped-VMEM limit and match the oracle's costs. This is the
+        # failure class the tile heuristic guards against — visible only on
+        # the real chip (interpret mode has no VMEM).
+        from monotonic_rnnt_tpu.ops.pallas.kernels import (fused_dp_tiles,
+                                                           round_up)
+
+        B, T, S, V = 4, 800, 199, 2048
+        s1r = round_up(S + 1, 8)
+        _, vt = fused_dp_tiles(B, T, S + 1, V)
+        declared = 4 * B * s1r * vt * 4 + 5 * B * T * s1r * 4
+        assert declared > 36 * 1024 * 1024, declared  # actually near-boundary
+        rng = np.random.RandomState(17)
+        logits = jnp.asarray(rng.randn(B, T, S + 1, V).astype(np.float32))
+        labels = jnp.asarray(rng.randint(1, V, (B, S)).astype(np.int32))
+        il = jnp.asarray(np.array([T, T - 100, T, T // 2], np.int32))
+        sl = jnp.asarray(np.array([S, S - 7, 0, S // 2], np.int32))
+        c1, g1 = f_pal(logits, labels, il, sl)
+        gsum = float(jnp.sum(jnp.abs(g1)))
+        assert np.isfinite(gsum) and gsum > 0.0, gsum
+        del g1
+        c2, _ = f_ref(logits, labels, il, sl, with_grads=False)
+        ce = float(jnp.max(jnp.abs(jnp.where(jnp.isfinite(c2), c1 - c2,
+                                             0.0))))
+        assert (np.isfinite(np.asarray(c1)) == np.isfinite(
+            np.asarray(c2))).all()
+        assert ce < 2e-3, ce
+
+    check("DP-fused VMEM budget boundary (4,800,200,2048) compiles",
+          vmem_boundary)
+
     def cost_only():
         rng = np.random.RandomState(1)
         logits = jnp.asarray(rng.randn(4, 32, 9, 128).astype(np.float32))

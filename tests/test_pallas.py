@@ -230,7 +230,7 @@ def test_pipeline_split_fallback_matches_oracle():
     # match the oracle end-to-end.
     from monotonic_rnnt_tpu.ops.pallas.kernels import fused_dp_tiles
 
-    B, T, S, V = 8, 360, 299, 8
+    B, T, S, V = 8, 850, 299, 8
     assert fused_dp_tiles(B, T, S + 1, V) is None
     rng = np.random.RandomState(13)
     ilen = rng.randint(S + 1, T + 1, size=(B,)).astype(np.int32)

@@ -11,6 +11,7 @@ import pytest
 
 from monotonic_rnnt_tpu.ops.pallas.kernels import (_VMEM_BUDGET_BYTES,
                                                    dp_tiles, dp_tiles_banded,
+                                                   fused_dp_tiles,
                                                    pick_tv_tiles, round_up)
 
 # (B, T, S, V): reference TF sweep + headline bench + banded long + infnan.
@@ -54,6 +55,29 @@ def test_dp_tiles_invariants(batch, t, s, v):
     # 4 double-buffered [BT, TT, S1] f32 buffers within budget (x3 headroom
     # documented in dp_tiles)
     assert 2 * 4 * bt * tt * round_up(s1, 128) * 4 <= 3 * _VMEM_BUDGET_BYTES
+
+
+@pytest.mark.parametrize("batch,t,s,v", SHAPES + [
+    (8, 500, 199, 10000),   # boundary class: big resident + big V
+    (4, 800, 199, 2048),    # on-chip acceptance boundary shape
+    (8, 850, 299, 8),       # must be rejected (split-pipeline fallback)
+])
+def test_fused_dp_tiles_vmem_budget(batch, t, s, v):
+    # beta_grad_fused declares 2 double-buffered big blocks (in + out) plus
+    # 5 resident [B, T, S1] arrays; the whole footprint must stay <= 40MB
+    # (the rest of the 64MB scoped-VMEM limit is Mosaic temporary headroom).
+    # A block-only check passes shapes that then fail Mosaic compilation on
+    # the real chip — scripts/tpu_acceptance.py compiles the boundary shape.
+    s1 = s + 1
+    tiles = fused_dp_tiles(batch, t, s1, v)
+    if tiles is None:
+        return
+    tt, vt = tiles
+    assert tt == 1 and vt >= 128 and vt % 128 == 0
+    assert vt <= round_up(v, 128)
+    s1r = round_up(s1, 8)
+    declared = 4 * batch * s1r * vt * 4 + 5 * batch * t * s1r * 4
+    assert declared <= 40 * 1024 * 1024, (tt, vt, declared)
 
 
 @pytest.mark.parametrize("batch,t,w", [
