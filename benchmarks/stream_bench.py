@@ -13,10 +13,11 @@ Usage: python benchmarks/stream_bench.py [--rows 327680] [--cols 1024]
 import argparse
 import json
 import sys
+from pathlib import Path
 
 import numpy as np
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
 def main():

@@ -399,6 +399,46 @@ def softmax_stats_banded(logits_band, lab_band, rel_bounds, blank_id: int,
 # XLA oracle's masks are built from.
 
 
+def fused_dp_vmem_bytes(batch: int, t_max: int, s1: int, vt: int) -> int:
+    """True VMEM footprint (bytes) of the worse DP-fused kernel at VT.
+
+    Models Mosaic's f32 tile padding exactly: the minor (lane) axis of
+    every declared block pads to 128 and the second-minor to 8 — so the
+    VMEM-resident [B, T, S1] arrays pad S1 to 128 (not 8), and the
+    [B, T, 1] bound streams of stats_alpha_fused pad their unit lane axis
+    all the way to 128 (each as large as a resident array). Both kernels'
+    full block lists are modeled; the max is returned. bf16 outputs pad
+    the sublane to 16 at 2 bytes/elt, which the f32 terms upper-bound.
+    """
+    s1_sub = round_up(s1, 8)           # S1 is second-minor in big blocks
+    s1_lane = round_up(s1, 128)        # S1 is the lane axis everywhere else
+    t_sub = round_up(t_max, 8)
+    big = batch * s1_sub * vt * 4      # one [B, 1, S1, VT] buffer
+    res = batch * t_sub * s1_lane * 4  # one resident [B, T, S1] array
+    row = batch * 8 * s1_lane * 4      # one [B, 1, S1] block
+    scal = batch * 8 * 128 * 4         # one [B, 1, 1] block
+    scr = round_up(batch, 8) * s1_lane * 4  # one [B, S1] scratch row
+    bound = batch * t_sub * 128 * 4    # one [B, T, 1] bound stream
+    # beta_grad_fused: double-buffered big in + big out, 4 resident inputs
+    # + betas output, 3 [B,1,1] operands, 2 [B,1,S1] operands, 4 scratch.
+    beta = 4 * big + 5 * res + 3 * scal + 2 * row + 4 * scr
+    # stats_alpha_fused: double-buffered big in, 4 resident outputs, 2
+    # bound streams, 1 label row, scratch m/se/carry + the [2, B, S1] g.
+    stats = 2 * big + 4 * res + 2 * bound + row + 5 * scr
+    return max(beta, stats)
+
+
+# True-footprint cap for the DP-fused pair: 48MB of the 64MB scoped-VMEM
+# limit (_VMEM_LIMIT), leaving >=16MB for Mosaic's vector temporaries. The
+# headline shape (32,200,51,1000 @ VT=1024) sits at ~46.5MB real and
+# compiles+runs at the HBM roofline on v5e; shapes past the cap shrink VT
+# or fall back to the split pipeline. (An earlier check capped a
+# mis-modeled "declared" figure at 40MB that under-counted lane padding by
+# 6-12MB; the real high-water mark of the shapes it admitted is what this
+# cap pins.)
+_FUSED_DP_VMEM_CAP = 48 * 1024 * 1024
+
+
 def fused_dp_tiles(batch: int, t_max: int, s1: int, v: int):
     """(1, VT) for the DP-fused kernels, or None when the shape won't fit.
 
@@ -408,25 +448,20 @@ def fused_dp_tiles(batch: int, t_max: int, s1: int, v: int):
     narrow-V blocks read 512-byte strided slivers and halve the effective
     HBM rate. The small [B, T, S1] arrays ride whole, VMEM-resident (the
     (8, 128) block-shape rule forbids 1-row blocks of them anyway), so the
-    shape must satisfy BOTH budgets; otherwise orchestrators fall back to
-    the split pipeline, which tiles the batch.
+    shape must satisfy BOTH kernels' budgets (fused_dp_vmem_bytes);
+    otherwise orchestrators fall back to the split pipeline, which tiles
+    the batch. Failing the cap is visible only on the real chip (interpret
+    mode has no VMEM), so the cap errs conservative and
+    scripts/tpu_acceptance.py compiles a near-boundary shape every round.
     """
-    s1r = round_up(s1, 8)
-    row_bytes = batch * s1r * 4
-    # beta_grad_fused is the VMEM high-water mark: TWO double-buffered big
-    # blocks (logits in + grads out = 4x the block) alongside 5 resident
-    # [B, T, S1] arrays (4 streamed stats/alpha inputs + the betas output).
-    # Size vt so that whole declared footprint stays <= 40MB, leaving the
-    # rest of the 64MB scoped-VMEM limit (_VMEM_LIMIT) for Mosaic's vector
-    # temporaries — a block-only check passes shapes near the boundary that
-    # then fail compilation on the real chip (invisible in interpret mode).
-    resident = 5 * batch * t_max * s1r * 4
-    avail = 40 * 1024 * 1024 - resident
-    vt_cap = avail // (4 * row_bytes) // 128 * 128
-    if vt_cap < 128:
+    row_bytes = batch * round_up(s1, 8) * 4
+    vt = min(round_up(v, 128),
+             max(128, _VMEM_BUDGET_BYTES // max(1, row_bytes) // 128 * 128))
+    while vt >= 128 and fused_dp_vmem_bytes(batch, t_max, s1,
+                                            vt) > _FUSED_DP_VMEM_CAP:
+        vt -= 128
+    if vt < 128:
         return None
-    vt = min(round_up(v, 128), vt_cap,
-             max(128, _VMEM_BUDGET_BYTES // row_bytes // 128 * 128))
     return 1, int(vt)
 
 
@@ -542,7 +577,7 @@ def stats_alpha_fused(logits, labels_ext, a_lo, a_hi, blank_id: int,
 def _beta_grad_kernel(x_ref, denom_ref, lpbb_ref, lplb_ref, aprev_ref,
                       ilen_ref, llb_ref, scale_ref, bvirt_ref, lab_ref,
                       grad_ref, betas_ref, carry, occ_sc, cb_sc, cl_sc, *,
-                      blank_id, v_total, vt):
+                      blank_id, vt):
     """In-kernel beta DP + occupancy coefficients + fused gradient.
 
     Grid (T, nV) with t DESCENDING (reverse index maps) so the beta carry
@@ -629,8 +664,7 @@ def beta_grad_fused(logits, denom, lpb_bmask, lpl_bmask, aprev_masked,
                                           lambda j, jv: (0, 0, 0),
                                           memory_space=pltpu.VMEM)
     grads, betas = pl.pallas_call(
-        functools.partial(_beta_grad_kernel, blank_id=blank_id, v_total=v,
-                          vt=vt),
+        functools.partial(_beta_grad_kernel, blank_id=blank_id, vt=vt),
         grid=grid,
         in_specs=[big_spec, resident, resident, resident, resident,
                   one_spec(1), one_spec(1), one_spec(1), one_spec(s1),

@@ -121,20 +121,19 @@ def main(argv=None):
     check("banded long-sequence (2,1600,200,1024, shift 20)", banded_long)
 
     def vmem_boundary():
-        # A shape whose DP-fused declared VMEM footprint (2 double-buffered
-        # big blocks + 5 resident [B,T,S1] arrays) sits right at the 40MB
-        # budget fused_dp_tiles enforces: must COMPILE under the 64MB
+        # A shape whose DP-fused TRUE (Mosaic-padded) VMEM footprint sits
+        # near the cap fused_dp_tiles enforces: must COMPILE under the 64MB
         # scoped-VMEM limit and match the oracle's costs. This is the
         # failure class the tile heuristic guards against — visible only on
         # the real chip (interpret mode has no VMEM).
-        from monotonic_rnnt_tpu.ops.pallas.kernels import (fused_dp_tiles,
-                                                           round_up)
+        from monotonic_rnnt_tpu.ops.pallas.kernels import (
+            _FUSED_DP_VMEM_CAP, fused_dp_tiles, fused_dp_vmem_bytes)
 
         B, T, S, V = 4, 800, 199, 2048
-        s1r = round_up(S + 1, 8)
         _, vt = fused_dp_tiles(B, T, S + 1, V)
-        declared = 4 * B * s1r * vt * 4 + 5 * B * T * s1r * 4
-        assert declared > 36 * 1024 * 1024, declared  # actually near-boundary
+        real = fused_dp_vmem_bytes(B, T, S + 1, vt)
+        assert real > (_FUSED_DP_VMEM_CAP * 4) // 5, real  # near-boundary
+        assert real <= _FUSED_DP_VMEM_CAP, real
         rng = np.random.RandomState(17)
         logits = jnp.asarray(rng.randn(B, T, S + 1, V).astype(np.float32))
         labels = jnp.asarray(rng.randint(1, V, (B, S)).astype(np.int32))

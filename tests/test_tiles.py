@@ -9,9 +9,11 @@ own headline/banded shapes.
 
 import pytest
 
-from monotonic_rnnt_tpu.ops.pallas.kernels import (_VMEM_BUDGET_BYTES,
+from monotonic_rnnt_tpu.ops.pallas.kernels import (_FUSED_DP_VMEM_CAP,
+                                                   _VMEM_BUDGET_BYTES,
                                                    dp_tiles, dp_tiles_banded,
                                                    fused_dp_tiles,
+                                                   fused_dp_vmem_bytes,
                                                    pick_tv_tiles, round_up)
 
 # (B, T, S, V): reference TF sweep + headline bench + banded long + infnan.
@@ -63,11 +65,12 @@ def test_dp_tiles_invariants(batch, t, s, v):
     (8, 850, 299, 8),       # must be rejected (split-pipeline fallback)
 ])
 def test_fused_dp_tiles_vmem_budget(batch, t, s, v):
-    # beta_grad_fused declares 2 double-buffered big blocks (in + out) plus
-    # 5 resident [B, T, S1] arrays; the whole footprint must stay <= 40MB
-    # (the rest of the 64MB scoped-VMEM limit is Mosaic temporary headroom).
-    # A block-only check passes shapes that then fail Mosaic compilation on
-    # the real chip — scripts/tpu_acceptance.py compiles the boundary shape.
+    # The TRUE Mosaic-padded footprint of the worse DP-fused kernel (lane
+    # axes pad to 128, sublane to 8 — so [B,T,S1] residents pad S1 to 128
+    # and the [B,T,1] bound streams pad to 128 lanes) must stay under the
+    # cap, leaving the rest of the 64MB scoped-VMEM limit as Mosaic
+    # temporary headroom. Over-cap compiles fail only on the real chip —
+    # scripts/tpu_acceptance.py compiles the boundary shape each round.
     s1 = s + 1
     tiles = fused_dp_tiles(batch, t, s1, v)
     if tiles is None:
@@ -75,9 +78,8 @@ def test_fused_dp_tiles_vmem_budget(batch, t, s, v):
     tt, vt = tiles
     assert tt == 1 and vt >= 128 and vt % 128 == 0
     assert vt <= round_up(v, 128)
-    s1r = round_up(s1, 8)
-    declared = 4 * batch * s1r * vt * 4 + 5 * batch * t * s1r * 4
-    assert declared <= 40 * 1024 * 1024, (tt, vt, declared)
+    real = fused_dp_vmem_bytes(batch, t, s1, vt)
+    assert real <= _FUSED_DP_VMEM_CAP, (tt, vt, real)
 
 
 @pytest.mark.parametrize("batch,t,w", [
