@@ -66,11 +66,17 @@ def _packed_jax_fwd(acts, labels, input_lengths, label_lengths, alignment,
     default_dev = jax.devices()[0]
     if default_dev.platform != "cpu":
         x = jax.device_put(x, default_dev)
-    la = jnp.asarray(labels.detach().cpu().numpy().astype(np.int32))
+    # Bucket-padded metadata: the packed acts fix T_max = max(ilen) and
+    # S_max = max(slen), but callers (like the native engine and the
+    # reference binding) may pad labels / alignment wider — slice them to
+    # the derived widths so both engines accept the same inputs.
+    labels_np = labels.detach().cpu().numpy().astype(np.int32)
+    la = jnp.asarray(labels_np[:, :x.shape[2] - 1])
     il, sl = jnp.asarray(ilen), jnp.asarray(slen)
     if alignment is not None:
+        align_np = alignment.detach().cpu().numpy().astype(np.int32)
         bands = bands_from_alignment(
-            jnp.asarray(alignment.detach().cpu().numpy().astype(np.int32)),
+            jnp.asarray(align_np[:, :x.shape[1]]),
             il, sl, max_distance_from_alignment, blank_label)
     else:
         bands = default_bands(il, sl, x.shape[1])

@@ -110,6 +110,13 @@ def _subsample_stages(factor: int) -> int:
     return int(factor).bit_length() - 1
 
 
+def _stage_length(n):
+    """Frame count after ONE stride-2 subsampler stage — the single source
+    of the per-stage formula; subsampled_length and ConvSubsampler's
+    per-stage re-masking both consume it."""
+    return (n - 1) // 2 + 1
+
+
 def subsampled_length(cfg: ConformerConfig, n):
     """Input-frame count -> encoder output-frame count ((n-1)//2+1 per stage).
 
@@ -117,7 +124,7 @@ def subsampled_length(cfg: ConformerConfig, n):
     and the streaming emit gate must use this exact formula.
     """
     for _ in range(_subsample_stages(cfg.subsample_factor)):
-        n = (n - 1) // 2 + 1
+        n = _stage_length(n)
     return n
 
 
@@ -139,7 +146,7 @@ class ConvSubsampler(nn.Module):
             x = nn.relu(x)
             # Re-mask after every strided stage: conv bias + ReLU re-populate
             # padded frames and the next stage's boundary would read them.
-            lengths = (lengths - 1) // 2 + 1
+            lengths = _stage_length(lengths)
             stage_mask = (jnp.arange(x.shape[1])[None, :]
                           < lengths[:, None])
             x = x * stage_mask[:, :, None, None].astype(x.dtype)

@@ -34,9 +34,9 @@ import jax.numpy as jnp
 
 from ..utils.status import RnntError, Status
 from .banded import BandStats, band_gradients, band_labels, band_stats
-from .bands import (BandLayout, Bands, band_final_slot, band_lattice_masks,
+from .bands import (Bands, band_final_slot, band_lattice_masks,
                     band_virtual_next_rows, compute_band_layout)
-from .chunked import _carry_vma, _psum_to_primal, _vary_to
+from .chunked import _carry_vma, _chunk, _pad_t, _psum_to_primal, _vary_to
 from .helpers import (NEG_INF, log_sum_exp, mask_to_additive, shift_left_s,
                       shift_right_s)
 
@@ -68,18 +68,6 @@ def _band_chunk_stats(logits_c, lab_k, blank_id, axis_name):
                               axis_name)
 
 
-def _chunk(x: jnp.ndarray, n_chunks: int, chunk_t: int) -> jnp.ndarray:
-    """[B, T, ...] -> [nC, B, Tc, ...] (T must be padded to nC * Tc)."""
-    batch = x.shape[0]
-    rest = x.shape[2:]
-    return jnp.moveaxis(x.reshape(batch, n_chunks, chunk_t, *rest), 1, 0)
-
-
-def _pad_t(x: jnp.ndarray, t_pad: int, value) -> jnp.ndarray:
-    pad = [(0, 0), (0, t_pad - x.shape[1])] + [(0, 0)] * (x.ndim - 2)
-    return jnp.pad(x, pad, constant_values=value)
-
-
 def _prep_banded(enc, ilen, slen, s1, bands, width, chunk_t):
     """Band layout + all chunked [nC, B, Tc, ...] glue arrays."""
     batch, t_max, _ = enc.shape
@@ -109,8 +97,21 @@ def _prep_banded(enc, ilen, slen, s1, bands, width, chunk_t):
 
 
 def _gather_pred(pred, idx_c):
-    """pred [B, S1, Dp], idx_c [B, Tc, W] -> [B, Tc, W, Dp]."""
-    return jnp.take_along_axis(pred[:, None, :, :], idx_c[..., None], axis=2)
+    """pred [B, S1, Dp], idx_c [B, Tc, W] -> [B, Tc, W, Dp].
+
+    One-hot MXU matmul, NOT take_along_axis: a [B, Tc, W]-indexed gather
+    lowers to serialized dynamic slices on TPU (~0.5 ms at the banded
+    benchmark shape — the same trap band_labels documents, ops/banded.py).
+    precision=HIGHEST keeps f32 operands un-rounded, and each output
+    element receives exactly one nonzero term, so this is exact selection;
+    its VJP is the matching transposed matmul (no scatter).
+    """
+    s1 = pred.shape[1]
+    onehot = (idx_c[..., None] == jnp.arange(s1, dtype=idx_c.dtype)
+              ).astype(jnp.float32)
+    out = jnp.einsum("btws,bsd->btwd", onehot, pred.astype(jnp.float32),
+                     precision=jax.lax.Precision.HIGHEST)
+    return out.astype(pred.dtype)
 
 
 def _alphas_and_costs(enc, pred, labels, ilen, slen, joint_params, bands,

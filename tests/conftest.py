@@ -19,5 +19,16 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
 
+# Persistent XLA compilation cache: the container has ONE CPU core, so the
+# suite's wall time is dominated by compiles; cache keys hash the HLO +
+# compile options, so code changes that alter a computation re-compile and
+# anything untouched hits. First full run populates (~no overhead),
+# repeat runs cut most of the compile time.
+_CACHE_DIR = os.path.join(os.path.dirname(__file__), os.pardir,
+                          ".pytest_cache", "jax_compilation_cache")
+jax.config.update("jax_compilation_cache_dir", os.path.abspath(_CACHE_DIR))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
 assert jax.default_backend() == "cpu", "tests must run on the CPU backend"
 assert len(jax.devices()) >= 8, "tests need 8 virtual CPU devices"

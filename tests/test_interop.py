@@ -173,3 +173,31 @@ def test_torch_packed_jax_engine_matches_native():
     (w * c_jax).sum().backward()
     np.testing.assert_allclose(a_jax.grad.numpy(), a_nat.grad.numpy(),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_torch_packed_jax_engine_bucket_padded_metadata():
+    """Labels padded wider than max(label_lengths) (a fixed-width collate)
+    and an alignment padded wider than max(input_lengths) must work on the
+    jax engine exactly as they do on the native engine — regression: the
+    jax route used to derive a negative label pad and crash in JAX."""
+    acts, labels, ilen, slen = _packed_readme()
+    wide_labels = torch.cat(
+        [labels, torch.zeros((labels.shape[0], 3), dtype=labels.dtype)], 1)
+    c_nat = monotonic_rnnt_loss(acts.detach().clone().requires_grad_(True),
+                                wide_labels, ilen, slen, engine="native")
+    a_jax = acts.detach().clone().requires_grad_(True)
+    c_jax = monotonic_rnnt_loss(a_jax, wide_labels, ilen, slen,
+                                engine="jax")
+    np.testing.assert_allclose(c_jax.detach().numpy(), c_nat.detach().numpy(),
+                               atol=1e-4)
+    c_jax.sum().backward()
+    assert np.isfinite(a_jax.grad.numpy()).all()
+
+    # Alignment wider than max(input_lengths): same contract.
+    align = torch.tensor(golden.ALIGN_A[None])
+    wide_align = torch.cat(
+        [align, torch.zeros((1, 2), dtype=align.dtype)], 1)
+    c1 = monotonic_rnnt_loss(acts.detach().clone().requires_grad_(True),
+                             wide_labels, ilen, slen, alignment=wide_align,
+                             max_distance_from_alignment=1, engine="jax")
+    np.testing.assert_allclose(c1.detach().numpy(), [1.22], atol=1e-2)
