@@ -31,6 +31,7 @@ def main():
     sys.path.insert(0, "/root/repo")
     from monotonic_rnnt_tpu.ops.pallas.fused import rnnt_loss_pallas
     from monotonic_rnnt_tpu.ops.reference import rnnt_loss_reference
+    from monotonic_rnnt_tpu.utils.provenance import provenance_stamp
 
     B, T, S, V = 32, 200, 50, 1000
     S1 = S + 1
@@ -272,6 +273,7 @@ def main():
             "backend": backend,
             "device": str(jax.devices()[0]),
         },
+        "provenance": provenance_stamp(seed=0),
     }))
 
 

@@ -138,6 +138,8 @@ def main(argv=None):
         "chunk_t": args.chunk_t,
         "device": jax.devices()[0].device_kind,
     }
+    from monotonic_rnnt_tpu.utils.provenance import provenance_stamp
+    result["provenance"] = provenance_stamp(seed=0)
     line = json.dumps(result)
     print(line)
     if args.json_out:

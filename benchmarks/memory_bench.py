@@ -140,6 +140,8 @@ def main(argv=None):
             result["monolithic"] = ("oom" if oom
                                     else f"failed ({kind})")
 
+    from monotonic_rnnt_tpu.utils.provenance import provenance_stamp
+    result["provenance"] = provenance_stamp(seed=0)
     line = json.dumps(result)
     print(line)
     if args.json_out:

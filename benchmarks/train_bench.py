@@ -33,6 +33,9 @@ def main(argv=None):
     p.add_argument("--vocab", type=int, default=1024)
     p.add_argument("--f32", action="store_true",
                    help="f32 model compute (default bf16)")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--json-out", default=None,
+                   help="write a provenance-stamped JSON record (TRAIN_rNN)")
     args = p.parse_args(argv)
 
     import jax
@@ -54,7 +57,7 @@ def main(argv=None):
                                   embed_dim=args.dim // 2, dtype=dtype),
         joint_dim=args.dim, vocab_size=args.vocab, dtype=dtype)
 
-    rng = np.random.RandomState(0)
+    rng = np.random.RandomState(args.seed)
     B, T, S = args.batch, args.frames, args.labels
     feats = jnp.asarray(rng.randn(B, T, args.feat_dim).astype(np.float32))
     flen = jnp.full((B,), T, jnp.int32)
@@ -63,7 +66,7 @@ def main(argv=None):
     batch = (feats, flen, labels, slen)
 
     n_dev = len(jax.devices())
-    state = create_train_state(cfg, jax.random.PRNGKey(0), batch)
+    state = create_train_state(cfg, jax.random.PRNGKey(args.seed), batch)
 
     # K steps inside ONE jit (per-call dispatch through an async tunnel would
     # otherwise dominate); the optimizer update chains the steps, so nothing
@@ -96,6 +99,26 @@ def main(argv=None):
     print(f"{dt * 1e3:.2f} ms/step | {frames_per_s / 1e3:.1f} kframes/s | "
           f"{rtf:.0f}x realtime (10ms hop) | "
           f"loss {float(loss):.3f}")
+    if args.json_out:
+        import json
+
+        from monotonic_rnnt_tpu.utils.provenance import provenance_stamp
+
+        Path(args.json_out).write_text(json.dumps({
+            "model": f"{args.layers}x{args.dim} conformer-transducer",
+            "vocab": args.vocab,
+            "params_M": round(float(n_params) / 1e6, 2),
+            "dtype": "f32" if args.f32 else "bf16",
+            "shape": {"B": B, "T": T, "S": S},
+            "steps": args.steps,
+            "ms_per_step": round(dt * 1e3, 3),
+            "kframes_per_s": round(frames_per_s / 1e3, 2),
+            "realtime_x_10ms_hop": round(rtf, 1),
+            "final_loss": round(float(loss), 6),
+            "n_devices": n_dev,
+            "provenance": provenance_stamp(seed=args.seed),
+        }, indent=1) + "\n")
+        print(f"wrote {args.json_out}")
 
 
 if __name__ == "__main__":

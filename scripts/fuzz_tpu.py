@@ -30,9 +30,12 @@ def main(argv=None):
         if args.json_out:
             import json
 
+            from monotonic_rnnt_tpu.utils.provenance import provenance_stamp
+
             Path(args.json_out).write_text(json.dumps({
-                "cases": args.cases, "ok": rc == 0,
-                "failed_case": case_desc}) + chr(10))
+                "cases": args.cases, "seed": args.seed, "ok": rc == 0,
+                "failed_case": case_desc,
+                "provenance": provenance_stamp(seed=args.seed)}) + chr(10))
         return rc
 
     import jax

@@ -38,7 +38,10 @@ def main(argv=None):
 
     import jax
 
+    from monotonic_rnnt_tpu.utils.provenance import provenance_stamp
+
     record = {
+        "provenance": provenance_stamp(seed=args.seed),
         "device": str(jax.devices()[0]),
         "elapsed_s": round(time.time() - t0, 1),
         "acceptance": {

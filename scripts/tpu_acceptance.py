@@ -459,7 +459,10 @@ def main(argv=None):
     if args.json_out:
         import json
 
+        from monotonic_rnnt_tpu.utils.provenance import provenance_stamp
+
         Path(args.json_out).write_text(json.dumps({
+            "provenance": provenance_stamp(),
             "device": str(jax.devices()[0]),
             "checks": RESULTS,
             "n_failed": len(failures),
