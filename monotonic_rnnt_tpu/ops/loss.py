@@ -85,7 +85,8 @@ def _loss_fwd(logits, labels, input_lengths, label_lengths, band_min,
         from .pallas.fused import (deferred_grad_supported,
                                    rnnt_loss_pallas_deferred_fwd)
 
-        if deferred_grad_supported(jnp.shape(logits)):
+        if deferred_grad_supported(jnp.shape(logits),
+                                   jnp.asarray(logits).dtype):
             # Deferred-gradient route: forward is ONE read of the logits;
             # the beta+gradient pass runs in the bwd rule with the cost
             # cotangent folded into the occupancy coefficients in-kernel.

@@ -41,6 +41,10 @@ def rnnt_loss_banded_pallas(
 
     Same contract as ops.banded.rnnt_loss_banded_reference.
     """
+    from ...utils.debug import report_space
+    report_space("banded", logits_band.shape, logits_band.dtype,
+                 reads=2 if with_grads else 1,
+                 writes=1 if with_grads else 0)
     costs, parts = _banded_fwd_parts(logits_band, labels, input_lengths,
                                      label_lengths, bands, blank_id,
                                      with_grads, interpret)

@@ -25,13 +25,13 @@ import jax
 import jax.numpy as jnp
 
 from ...utils.config import get_config
-from ...utils.debug import emit_loss_debug
+from ...utils.debug import emit_loss_debug, report_space
 from ..bands import Bands, _window_bounds, default_bands, lattice_masks
 from ..helpers import NEG_INF, extend_labels, mask_to_additive
 from ..reference import occupancy_coefficients
 from .kernels import (alpha_scan, beta_grad_fused, dp_tiles, fused_dp_tiles,
-                      fwdbwd_scan, grad_pass, softmax_stats,
-                      stats_alpha_fused)
+                      fused_dp_vmem_bytes, fwdbwd_scan, grad_pass,
+                      softmax_stats, stats_alpha_fused)
 
 
 def rnnt_loss_pallas(
@@ -58,12 +58,20 @@ def rnnt_loss_pallas(
         bands = default_bands(ilen, slen, t_max)
     labels_ext = extend_labels(labels, slen, s1)
 
-    fused_tiles = fused_dp_tiles(batch, t_max, s1, v)
+    fused_tiles = fused_dp_tiles(batch, t_max, s1, v, logits.dtype)
     if fused_tiles is not None:
+        report_space(
+            "dp-fused", logits.shape, logits.dtype, tiles=fused_tiles,
+            reads=2 if with_grads else 1, writes=1 if with_grads else 0,
+            vmem_bytes=fused_dp_vmem_bytes(
+                batch, t_max, s1, fused_tiles[1], tt=fused_tiles[0],
+                itemsize=jnp.dtype(logits.dtype).itemsize))
         return _pipeline_dp_fused(logits, labels_ext, ilen, slen, bands,
                                   blank_id, with_grads, interpret,
                                   fused_tiles)
 
+    report_space("split", logits.shape, logits.dtype,
+                 reads=2 if with_grads else 1, writes=1 if with_grads else 0)
     masks = lattice_masks(ilen, slen, bands, t_max, s1)
     denom, lp_blank, lpl_raw = softmax_stats(logits, labels_ext, blank_id,
                                              interpret=interpret)
@@ -193,11 +201,11 @@ def _pipeline_dp_fused(logits, labels_ext, ilen, slen, bands, blank_id,
     return costs, grads
 
 
-def deferred_grad_supported(logits_shape) -> bool:
+def deferred_grad_supported(logits_shape, dtype=jnp.float32) -> bool:
     """True when the deferred-gradient route (fwd 1 read, bwd 1 read +
-    1 write, cotangent folded in-kernel) applies to this shape."""
+    1 write, cotangent folded in-kernel) applies to this shape/dtype."""
     batch, t_max, s1, v = logits_shape
-    return fused_dp_tiles(batch, t_max, s1, v) is not None
+    return fused_dp_tiles(batch, t_max, s1, v, dtype) is not None
 
 
 def rnnt_loss_pallas_deferred_fwd(logits, labels, input_lengths,
@@ -226,7 +234,9 @@ def rnnt_loss_pallas_deferred_fwd(logits, labels, input_lengths,
     if bands is None:
         bands = default_bands(ilen, slen, t_max)
     labels_ext = extend_labels(labels, slen, s1)
-    tiles = fused_dp_tiles(batch, t_max, s1, v)
+    tiles = fused_dp_tiles(batch, t_max, s1, v, logits.dtype)
+    report_space("dp-fused-deferred-fwd", logits.shape, logits.dtype,
+                 tiles=tiles, reads=1, writes=0)
     denom, lp_blank, lp_label, alphas, ll_fwd, _ = _dp_fused_alpha_half(
         logits, labels_ext, ilen, slen, bands, blank_id, interpret, tiles)
     return -ll_fwd, (denom, lp_blank, lp_label, alphas, ll_fwd)
@@ -252,7 +262,9 @@ def rnnt_loss_pallas_deferred_bwd(logits, labels, input_lengths,
     if bands is None:
         bands = default_bands(ilen, slen, t_max)
     labels_ext = extend_labels(labels, slen, s1)
-    tiles = fused_dp_tiles(batch, t_max, s1, v)
+    tiles = fused_dp_tiles(batch, t_max, s1, v, logits.dtype)
+    report_space("dp-fused-deferred-bwd", logits.shape, logits.dtype,
+                 tiles=tiles, reads=1, writes=1)
     denom, lp_blank, lp_label, alphas, ll_fwd = residuals
     a_lo, a_hi, b_lo, b_hi = _window_bounds(ilen, slen, bands, t_max, s1)
     t_idx = jnp.arange(t_max, dtype=jnp.int32)[None, :]

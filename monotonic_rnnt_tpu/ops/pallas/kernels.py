@@ -399,32 +399,39 @@ def softmax_stats_banded(logits_band, lab_band, rel_bounds, blank_id: int,
 # XLA oracle's masks are built from.
 
 
-def fused_dp_vmem_bytes(batch: int, t_max: int, s1: int, vt: int) -> int:
-    """True VMEM footprint (bytes) of the worse DP-fused kernel at VT.
+def fused_dp_vmem_bytes(batch: int, t_max: int, s1: int, vt: int,
+                        tt: int = 1, itemsize: int = 4) -> int:
+    """True VMEM footprint (bytes) of the worse DP-fused kernel at (TT, VT).
 
-    Models Mosaic's f32 tile padding exactly: the minor (lane) axis of
-    every declared block pads to 128 and the second-minor to 8 — so the
-    VMEM-resident [B, T, S1] arrays pad S1 to 128 (not 8), and the
-    [B, T, 1] bound streams of stats_alpha_fused pad their unit lane axis
-    all the way to 128 (each as large as a resident array). Both kernels'
-    full block lists are modeled; the max is returned. bf16 outputs pad
-    the sublane to 16 at 2 bytes/elt, which the f32 terms upper-bound.
+    Models Mosaic's tile padding exactly: the minor (lane) axis of every
+    declared block pads to 128 and the second-minor to 8 (f32) / 16
+    (bf16) — so the VMEM-resident [B, T, S1] arrays pad S1 to 128 (not
+    8), and the [B, T, 1] bound streams of stats_alpha_fused pad their
+    unit lane axis all the way to 128 (each as large as a resident
+    array). Both kernels' full block lists are modeled; the max is
+    returned. `itemsize` is the big tensor's (logits/grads) element size;
+    tt > 1 (the multi-t-row bf16 blocks) also grows the per-row scratch
+    to [B, tt, S1] with tt padding to a sublane of 8.
     """
-    s1_sub = round_up(s1, 8)           # S1 is second-minor in big blocks
+    sub = 8 if itemsize >= 4 else 16
+    s1_sub = round_up(s1, sub)         # S1 is second-minor in big blocks
     s1_lane = round_up(s1, 128)        # S1 is the lane axis everywhere else
-    t_sub = round_up(t_max, 8)
-    big = batch * s1_sub * vt * 4      # one [B, 1, S1, VT] buffer
+    t_sub = round_up(round_up(t_max, tt), 8)
+    big = batch * tt * s1_sub * vt * itemsize  # one [B, TT, S1, VT] buffer
     res = batch * t_sub * s1_lane * 4  # one resident [B, T, S1] array
     row = batch * 8 * s1_lane * 4      # one [B, 1, S1] block
     scal = batch * 8 * 128 * 4         # one [B, 1, 1] block
-    scr = round_up(batch, 8) * s1_lane * 4  # one [B, S1] scratch row
+    # one [B, TT, S1] per-row scratch buffer (TT pads to a sublane of 8)
+    scr = batch * round_up(tt, 8) * s1_lane * 4
     bound = batch * t_sub * 128 * 4    # one [B, T, 1] bound stream
     # beta_grad_fused: double-buffered big in + big out, 4 resident inputs
-    # + betas output, 3 [B,1,1] operands, 2 [B,1,S1] operands, 4 scratch.
-    beta = 4 * big + 5 * res + 3 * scal + 2 * row + 4 * scr
+    # + betas output, 3 [B,1,1] operands, 2 [B,1,S1] operands, 4 scratch
+    # (3 per-row coefficient buffers + the carry row).
+    beta = 4 * big + 5 * res + 3 * scal + 2 * row + 3 * scr + row
     # stats_alpha_fused: double-buffered big in, 4 resident outputs, 2
-    # bound streams, 1 label row, scratch m/se/carry + the [2, B, S1] g.
-    stats = 2 * big + 4 * res + 2 * bound + row + 5 * scr
+    # bound streams, 1 label row, scratch m/se + the [2, B, TT, S1] g +
+    # the carry row.
+    stats = 2 * big + 4 * res + 2 * bound + row + 4 * scr + row
     return max(beta, stats)
 
 
@@ -437,25 +444,55 @@ def fused_dp_vmem_bytes(batch: int, t_max: int, s1: int, vt: int) -> int:
 # 6-12MB; the real high-water mark of the shapes it admitted is what this
 # cap pins.)
 _FUSED_DP_VMEM_CAP = 48 * 1024 * 1024
+# The bf16 two-row regime declares more block VMEM (the [B, 2, S1, VT]
+# bf16 block is ~15% bigger than f32's one-row block after sublane-16
+# padding) but its in-kernel vector temporaries are per-ROW f32 slices —
+# the same size as the f32 pipeline's. Budget it against a raised scoped
+# limit (_FUSED_TT_VMEM_LIMIT, still < the 128MB physical VMEM on
+# v5e/v5p), keeping >=24MB of temporary headroom; validated compiled on
+# the real chip by scripts/tpu_acceptance.py's boundary checks.
+_FUSED_DP_VMEM_CAP_TT2 = 56 * 1024 * 1024
+_FUSED_TT_VMEM_LIMIT = 88 * 1024 * 1024
 
 
-def fused_dp_tiles(batch: int, t_max: int, s1: int, v: int):
-    """(1, VT) for the DP-fused kernels, or None when the shape won't fit.
+def _fused_vmem_limit(tt: int) -> int:
+    return (_FUSED_TT_VMEM_LIMIT if tt > 1
+            else _VMEM_LIMIT.vmem_limit_bytes)
 
-    The whole batch rides one [B, 1, S1, VT] block per grid step (the DP
-    advances all samples per step) — the t-block is ONE row so each
+
+def fused_dp_tiles(batch: int, t_max: int, s1: int, v: int,
+                   dtype=jnp.float32):
+    """(TT, VT) for the DP-fused kernels, or None when the shape won't fit.
+
+    The whole batch rides one [B, TT, S1, VT] block per grid step (the DP
+    advances all samples per step). For f32 the t-block is ONE row so each
     sample's slice is a large contiguous chunk (vt ~ V): time-tiled
     narrow-V blocks read 512-byte strided slivers and halve the effective
-    HBM rate. The small [B, T, S1] arrays ride whole, VMEM-resident (the
-    (8, 128) block-shape rule forbids 1-row blocks of them anyway), so the
-    shape must satisfy BOTH kernels' budgets (fused_dp_vmem_bytes);
-    otherwise orchestrators fall back to the split pipeline, which tiles
-    the batch. Failing the cap is visible only on the real chip (interpret
-    mode has no VMEM), so the cap errs conservative and
-    scripts/tpu_acceptance.py compiles a near-boundary shape every round.
+    HBM rate. For bf16 a TWO-row t-block has the same byte footprint as
+    f32's one-row block and halves the per-grid-step fixed cost (grid
+    bookkeeping + the serial DP row) that bf16's faster streams cannot
+    hide — but only when the whole vocab still rides one block (TT=2 with
+    a tiled V would reintroduce the strided-sliver reads), so TT=2 is
+    picked exactly when the full-V block fits its cap. The small
+    [B, T, S1] arrays ride whole, VMEM-resident (the (8, 128) block-shape
+    rule forbids 1-row blocks of them anyway), so the shape must satisfy
+    BOTH kernels' budgets (fused_dp_vmem_bytes); otherwise orchestrators
+    fall back to the split pipeline, which tiles the batch. Failing the
+    cap is visible only on the real chip (interpret mode has no VMEM), so
+    the cap errs conservative and scripts/tpu_acceptance.py compiles
+    near-boundary shapes every round.
     """
+    itemsize = jnp.dtype(dtype).itemsize
+    v128 = round_up(v, 128)
+    if itemsize == 2 and t_max >= 2:
+        if fused_dp_vmem_bytes(batch, t_max, s1, v128, tt=2,
+                               itemsize=2) <= _FUSED_DP_VMEM_CAP_TT2:
+            return 2, int(v128)
+    # The one-row budget keeps the f32 terms as an upper bound regardless
+    # of dtype (bf16 blocks are smaller), preserving the f32-validated
+    # admission decisions exactly.
     row_bytes = batch * round_up(s1, 8) * 4
-    vt = min(round_up(v, 128),
+    vt = min(v128,
              max(128, _VMEM_BUDGET_BYTES // max(1, row_bytes) // 128 * 128))
     while vt >= 128 and fused_dp_vmem_bytes(batch, t_max, s1,
                                             vt) > _FUSED_DP_VMEM_CAP:
@@ -467,67 +504,83 @@ def fused_dp_tiles(batch: int, t_max: int, s1: int, v: int):
 
 def _stats_alpha_kernel(x_ref, lab_ref, alo_ref, ahi_ref, denom_ref, lpb_ref,
                         lpl_ref, alphas_ref, m_sc, se_sc, g_sc, carry, *,
-                        blank_id, v_total, vt):
+                        blank_id, v_total, vt, tt, t_total):
     """Fused softmax statistics + in-kernel alpha DP (one read of logits).
 
-    Grid (T, nV): each step streams the [B, 1, S1, VT] row block (large
-    contiguous chunks per sample), accumulates the online softmax stats
-    across V-blocks, and on the last V-block writes this row's stats into
-    the VMEM-resident [B, T, S1] outputs and advances the alpha recurrence
-    one step. The DP compute overlaps the next row's DMA.
+    Grid (T/TT, nV): each step streams the [B, TT, S1, VT] block (TT=1 for
+    f32 — large contiguous chunks per sample; TT=2 for bf16, whose half-
+    width rows keep the same block bytes while halving the per-step fixed
+    cost), accumulates the online softmax stats across V-blocks per row,
+    and on the last V-block writes the block's stats into the VMEM-
+    resident [B, T, S1] outputs and advances the alpha recurrence TT
+    steps. The DP compute overlaps the next block's DMA. All per-row work
+    is a STATIC unroll over the TT rows — the vector temporaries stay
+    per-row sized ([B, S1, VT] f32) regardless of TT.
+
+    t_total: true T (the wrapper pads the small arrays to a TT multiple;
+    overhang rows of the big block are DMA-undefined and masked here).
     """
     j = pl.program_id(0)
     jv = pl.program_id(1)
     nv = pl.num_programs(1)
     batch, s1 = x_ref.shape[0], x_ref.shape[2]
-    x = x_ref[:, 0].astype(jnp.float32)             # [B, S1, VT]
-
-    v_global = jv * vt + jax.lax.broadcasted_iota(jnp.int32, x.shape, 2)
-    x = jnp.where(v_global < v_total, x, NEG_INF)
-    m_blk = jnp.max(x, axis=-1)                     # [B, S1]
     lab = lab_ref[:, 0]                             # [B, S1]
-    blank_hit = jnp.where(v_global == blank_id, x, 0.0)
-    label_hit = jnp.where(v_global == lab[:, :, None], x, 0.0)
-    g_blk = jnp.stack([jnp.sum(blank_hit, axis=-1),
-                       jnp.sum(label_hit, axis=-1)])
 
-    @pl.when(jv == 0)
+    for r in range(tt):
+        x = x_ref[:, r].astype(jnp.float32)         # [B, S1, VT]
+        v_global = jv * vt + jax.lax.broadcasted_iota(jnp.int32, x.shape, 2)
+        valid = v_global < v_total
+        if tt > 1:
+            # Overhang rows (t >= T on the last t-block) read undefined
+            # DMA padding; force them to -inf so no garbage reaches the
+            # scratch accumulators.
+            valid &= (j * tt + r) < t_total
+        x = jnp.where(valid, x, NEG_INF)
+        m_blk = jnp.max(x, axis=-1)                 # [B, S1]
+        blank_hit = jnp.where(v_global == blank_id, x, 0.0)
+        label_hit = jnp.where(v_global == lab[:, :, None], x, 0.0)
+        g_blk = jnp.stack([jnp.sum(blank_hit, axis=-1),
+                           jnp.sum(label_hit, axis=-1)], axis=1)  # [B, 2, S1]
+
+        @pl.when(jv == 0)
+        def _(x=x, m_blk=m_blk, g_blk=g_blk, r=r):
+            m_sc[:, r] = m_blk
+            se_sc[:, r] = jnp.sum(jnp.exp(x - m_blk[..., None]), axis=-1)
+            g_sc[:, :, r] = g_blk
+
+        @pl.when(jv > 0)
+        def _(x=x, m_blk=m_blk, g_blk=g_blk, r=r):
+            m_old = m_sc[:, r]
+            m_new = jnp.maximum(m_old, m_blk)
+            se_sc[:, r] = (se_sc[:, r] * jnp.exp(m_old - m_new) +
+                           jnp.sum(jnp.exp(x - m_new[..., None]), axis=-1))
+            m_sc[:, r] = m_new
+            g_sc[:, :, r] = g_sc[:, :, r] + g_blk
+
+    @pl.when((jv == 0) & (j == 0))
     def _():
-        m_sc[...] = m_blk
-        se_sc[...] = jnp.sum(jnp.exp(x - m_blk[..., None]), axis=-1)
-        g_sc[...] = g_blk
-
-        @pl.when(j == 0)
-        def _():
-            lane = jax.lax.broadcasted_iota(jnp.int32, (batch, s1), 1)
-            carry[...] = jnp.where(lane == 0, 0.0, NEG_INF)
-
-    @pl.when(jv > 0)
-    def _():
-        m_old = m_sc[...]
-        m_new = jnp.maximum(m_old, m_blk)
-        se_sc[...] = (se_sc[...] * jnp.exp(m_old - m_new) +
-                      jnp.sum(jnp.exp(x - m_new[..., None]), axis=-1))
-        m_sc[...] = m_new
-        g_sc[...] = g_sc[...] + g_blk
+        lane = jax.lax.broadcasted_iota(jnp.int32, (batch, s1), 1)
+        carry[...] = jnp.where(lane == 0, 0.0, NEG_INF)
 
     @pl.when(jv == nv - 1)
     def _():
-        denom = -(m_sc[...] + jnp.log(se_sc[...]))
-        lpb = g_sc[0] + denom
-        lpl = jnp.where(lab >= 0, g_sc[1] + denom, NEG_INF)
-        denom_ref[:, j, :] = denom
-        lpb_ref[:, j, :] = lpb
-        lpl_ref[:, j, :] = lpl
-
         s_iota = jax.lax.broadcasted_iota(jnp.int32, (batch, s1), 1)
-        win = (s_iota >= alo_ref[:, j, :]) & (s_iota <= ahi_ref[:, j, :])
         prev = carry[...]
-        no_emit = prev + lpb
-        emit = _shift_up_s(prev + lpl)
-        new = jnp.where(win, log_sum_exp(no_emit, emit), NEG_INF)
-        carry[...] = new
-        alphas_ref[:, j, :] = new
+        for r in range(tt):
+            t = j * tt + r
+            denom = -(m_sc[:, r] + jnp.log(se_sc[:, r]))
+            lpb = g_sc[:, 0, r] + denom
+            lpl = jnp.where(lab >= 0, g_sc[:, 1, r] + denom, NEG_INF)
+            denom_ref[:, t, :] = denom
+            lpb_ref[:, t, :] = lpb
+            lpl_ref[:, t, :] = lpl
+
+            win = (s_iota >= alo_ref[:, t, :]) & (s_iota <= ahi_ref[:, t, :])
+            no_emit = prev + lpb
+            emit = _shift_up_s(prev + lpl)
+            prev = jnp.where(win, log_sum_exp(no_emit, emit), NEG_INF)
+            alphas_ref[:, t, :] = prev
+        carry[...] = prev
 
 
 def stats_alpha_fused(logits, labels_ext, a_lo, a_hi, blank_id: int,
@@ -539,23 +592,33 @@ def stats_alpha_fused(logits, labels_ext, a_lo, a_hi, blank_id: int,
     Returns (denom, lp_blank, lp_label_masked, alphas), each [B, T, S1] f32
     — lp_label arrives pre-masked to -inf where the label slot is invalid
     (unlike softmax_stats, whose caller masks).
+
+    tiles: (TT, VT) from fused_dp_tiles. When TT > 1 the small T-indexed
+    arrays are padded HERE to a TT multiple (empty windows on pad rows)
+    and the outputs sliced back — the big logits tensor is never padded
+    (the kernel masks the overhang rows of its edge block).
     """
     batch, t_max, s1, v = logits.shape
-    _, vt = tiles or fused_dp_tiles(batch, t_max, s1, v)
-    grid = (t_max, pl.cdiv(v, vt))
+    tt, vt = tiles or fused_dp_tiles(batch, t_max, s1, v, logits.dtype)
+    t_pad = round_up(t_max, tt)
+    if t_pad != t_max:
+        pad = ((0, 0), (0, t_pad - t_max))
+        a_lo = jnp.pad(a_lo, pad)
+        a_hi = jnp.pad(a_hi, pad, constant_values=-1)   # empty window
+    grid = (t_pad // tt, pl.cdiv(v, vt))
 
     vma = _vma(logits, labels_ext, a_lo, a_hi)
-    small = _struct((batch, t_max, s1), jnp.float32, vma)
-    resident = pl.BlockSpec((batch, t_max, s1), lambda j, jv: (0, 0, 0),
+    small = _struct((batch, t_pad, s1), jnp.float32, vma)
+    resident = pl.BlockSpec((batch, t_pad, s1), lambda j, jv: (0, 0, 0),
                             memory_space=pltpu.VMEM)
-    bound_spec = pl.BlockSpec((batch, t_max, 1), lambda j, jv: (0, 0, 0),
+    bound_spec = pl.BlockSpec((batch, t_pad, 1), lambda j, jv: (0, 0, 0),
                               memory_space=pltpu.VMEM)
-    return pl.pallas_call(
+    out = pl.pallas_call(
         functools.partial(_stats_alpha_kernel, blank_id=blank_id, v_total=v,
-                          vt=vt),
+                          vt=vt, tt=tt, t_total=t_max),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((batch, 1, s1, vt), lambda j, jv: (0, j, 0, jv),
+            pl.BlockSpec((batch, tt, s1, vt), lambda j, jv: (0, j, 0, jv),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((batch, 1, s1), lambda j, jv: (0, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -563,35 +626,41 @@ def stats_alpha_fused(logits, labels_ext, a_lo, a_hi, blank_id: int,
         ],
         out_specs=(resident,) * 4,
         out_shape=(small,) * 4,
-        scratch_shapes=[pltpu.VMEM((batch, s1), jnp.float32),
-                        pltpu.VMEM((batch, s1), jnp.float32),
-                        pltpu.VMEM((2, batch, s1), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((batch, tt, s1), jnp.float32),
+                        pltpu.VMEM((batch, tt, s1), jnp.float32),
+                        pltpu.VMEM((batch, 2, tt, s1), jnp.float32),
                         pltpu.VMEM((batch, s1), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
-            vmem_limit_bytes=_VMEM_LIMIT.vmem_limit_bytes),
+            vmem_limit_bytes=_fused_vmem_limit(tt)),
         interpret=interpret,
     )(logits, labels_ext[:, None, :], a_lo[:, :, None], a_hi[:, :, None])
+    if t_pad != t_max:
+        out = tuple(o[:, :t_max] for o in out)
+    return out
 
 
 def _beta_grad_kernel(x_ref, denom_ref, lpbb_ref, lplb_ref, aprev_ref,
                       ilen_ref, llb_ref, scale_ref, bvirt_ref, lab_ref,
                       grad_ref, betas_ref, carry, occ_sc, cb_sc, cl_sc, *,
-                      blank_id, vt):
+                      blank_id, vt, tt, t_total):
     """In-kernel beta DP + occupancy coefficients + fused gradient.
 
-    Grid (T, nV) with t DESCENDING (reverse index maps) so the beta carry
-    flows forward. On each row's first V-block the kernel advances beta one
-    step and materializes the row's occupancy coefficients into scratch;
-    every V-block then assembles the gradient: one read of logits + one
-    write of grads, with the whole DP and coefficient math hidden behind
-    the blocks' DMA. The small [B, T, S1] operand streams are VMEM-resident
-    (fetched once, constant index maps).
+    Grid (T/TT, nV) with t DESCENDING (reverse index maps) so the beta
+    carry flows forward. On each block's first V-block the kernel advances
+    beta TT steps (rows walked high-to-low inside the block) and
+    materializes the rows' occupancy coefficients into [B, TT, S1]
+    scratch; every V-block then assembles the gradient row by row: one
+    read of logits + one write of grads, with the whole DP and coefficient
+    math hidden behind the blocks' DMA. The small [B, T, S1] operand
+    streams are VMEM-resident (fetched once, constant index maps), padded
+    to the TT multiple by the wrapper (-inf stats on the pad rows keep the
+    carry at its initial -inf until the first real row).
     """
     j = pl.program_id(0)
     jv = pl.program_id(1)
     batch, s1 = x_ref.shape[0], x_ref.shape[2]
-    t = pl.num_programs(0) - 1 - j
+    tb = pl.num_programs(0) - 1 - j                         # t-block index
 
     @pl.when(jv == 0)
     def _():
@@ -599,35 +668,45 @@ def _beta_grad_kernel(x_ref, denom_ref, lpbb_ref, lplb_ref, aprev_ref,
         def _():
             carry[...] = jnp.full((batch, s1), NEG_INF, jnp.float32)
 
-        use_virtual = (t + 1) >= ilen_ref[:, 0, :]          # [B, 1]
-        nxt = jnp.where(use_virtual, bvirt_ref[:, 0, :], carry[...])
-        no_emit = nxt + lpbb_ref[:, t, :]
-        emit = _shift_down_s(nxt) + lplb_ref[:, t, :]
-        new = log_sum_exp(no_emit, emit)
-        carry[...] = new
-        betas_ref[:, t, :] = new
-        # Occupancy coefficients, same op order as the XLA oracle
-        # (exp(aprev + b - ll)) for bit-exact gradients; aprev arrives
-        # pre-masked to -inf on invalid cells, so exp == 0 there. The
-        # per-sample scale folds the cost cotangent into the coefficients
-        # (deferred-gradient path) — 1.0 on the forward-produced path.
-        ap = aprev_ref[:, t, :]
+        nxt_carry = carry[...]
         llb = llb_ref[:, 0, :]                              # [B, 1]
         sc = scale_ref[:, 0, :]                             # [B, 1]
-        occ_sc[...] = sc * jnp.exp(ap + new - llb)
-        cb_sc[...] = sc * jnp.exp(ap + nxt - llb)
-        cl_sc[...] = sc * jnp.exp(ap + _shift_down_s(nxt) - llb)
+        for r in reversed(range(tt)):
+            t = tb * tt + r
+            use_virtual = (t + 1) >= ilen_ref[:, 0, :]      # [B, 1]
+            nxt = jnp.where(use_virtual, bvirt_ref[:, 0, :], nxt_carry)
+            no_emit = nxt + lpbb_ref[:, t, :]
+            emit = _shift_down_s(nxt) + lplb_ref[:, t, :]
+            new = log_sum_exp(no_emit, emit)
+            betas_ref[:, t, :] = new
+            # Occupancy coefficients, same op order as the XLA oracle
+            # (exp(aprev + b - ll)) for bit-exact gradients; aprev arrives
+            # pre-masked to -inf on invalid cells, so exp == 0 there. The
+            # per-sample scale folds the cost cotangent into the
+            # coefficients (deferred-gradient path) — 1.0 on the
+            # forward-produced path.
+            ap = aprev_ref[:, t, :]
+            occ_sc[:, r] = sc * jnp.exp(ap + new - llb)
+            cb_sc[:, r] = sc * jnp.exp(ap + nxt - llb)
+            cl_sc[:, r] = sc * jnp.exp(ap + _shift_down_s(nxt) - llb)
+            nxt_carry = new
+        carry[...] = nxt_carry
 
-    x = x_ref[:, 0].astype(jnp.float32)                     # [B, S1, VT]
-    p = jnp.exp(x + denom_ref[:, t, :][..., None])
-    v_global = jv * vt + jax.lax.broadcasted_iota(jnp.int32, x.shape, 2)
-    blank_mask = v_global == blank_id
-    label_mask = v_global == lab_ref[:, 0][:, :, None]
-    coef = (occ_sc[...][..., None]
-            - jnp.where(blank_mask, cb_sc[...][..., None], 0.0)
-            - jnp.where(label_mask, cl_sc[...][..., None], 0.0))
-    grad_ref[:, 0] = jnp.where(coef == 0.0, 0.0,
-                               p * coef).astype(grad_ref.dtype)
+    for r in range(tt):
+        x = x_ref[:, r].astype(jnp.float32)                 # [B, S1, VT]
+        if tt > 1:
+            # Overhang rows read undefined DMA padding; force them to
+            # -inf so p == 0 there (their writes are edge-masked anyway).
+            x = jnp.where((tb * tt + r) < t_total, x, NEG_INF)
+        p = jnp.exp(x + denom_ref[:, tb * tt + r, :][..., None])
+        v_global = jv * vt + jax.lax.broadcasted_iota(jnp.int32, x.shape, 2)
+        blank_mask = v_global == blank_id
+        label_mask = v_global == lab_ref[:, 0][:, :, None]
+        coef = (occ_sc[:, r][..., None]
+                - jnp.where(blank_mask, cb_sc[:, r][..., None], 0.0)
+                - jnp.where(label_mask, cl_sc[:, r][..., None], 0.0))
+        grad_ref[:, r] = jnp.where(coef == 0.0, 0.0,
+                                   p * coef).astype(grad_ref.dtype)
 
 
 def beta_grad_fused(logits, denom, lpb_bmask, lpl_bmask, aprev_masked,
@@ -647,43 +726,54 @@ def beta_grad_fused(logits, denom, lpb_bmask, lpl_bmask, aprev_masked,
     Returns (grads [B, T, S1, V] out_dtype, betas [B, T, S1] f32).
     """
     batch, t_max, s1, v = logits.shape
-    _, vt = tiles or fused_dp_tiles(batch, t_max, s1, v)
-    grid = (t_max, pl.cdiv(v, vt))
+    tt, vt = tiles or fused_dp_tiles(batch, t_max, s1, v, logits.dtype)
+    t_pad = round_up(t_max, tt)
+    if t_pad != t_max:
+        # Pad the small resident streams to the TT multiple (see the
+        # kernel docstring); -inf stats keep the carry inert on pad rows,
+        # -inf aprev zeroes their occupancy coefficients.
+        pad = ((0, 0), (0, t_pad - t_max), (0, 0))
+        denom = jnp.pad(denom, pad)
+        lpb_bmask = jnp.pad(lpb_bmask, pad, constant_values=NEG_INF)
+        lpl_bmask = jnp.pad(lpl_bmask, pad, constant_values=NEG_INF)
+        aprev_masked = jnp.pad(aprev_masked, pad, constant_values=NEG_INF)
+    grid = (t_pad // tt, pl.cdiv(v, vt))
 
     if grad_scale is None:
         grad_scale = jnp.ones((batch, 1, 1), jnp.float32)
     vma = _vma(logits, denom, lpb_bmask, lpl_bmask, aprev_masked,
                input_lengths, ll_bounded, grad_scale)
     big_spec = pl.BlockSpec(
-        (batch, 1, s1, vt),
+        (batch, tt, s1, vt),
         lambda j, jv: (0, pl.num_programs(0) - 1 - j, 0, jv),
         memory_space=pltpu.VMEM)
-    resident = pl.BlockSpec((batch, t_max, s1), lambda j, jv: (0, 0, 0),
+    resident = pl.BlockSpec((batch, t_pad, s1), lambda j, jv: (0, 0, 0),
                             memory_space=pltpu.VMEM)
     one_spec = lambda lanes: pl.BlockSpec((batch, 1, lanes),
                                           lambda j, jv: (0, 0, 0),
                                           memory_space=pltpu.VMEM)
     grads, betas = pl.pallas_call(
-        functools.partial(_beta_grad_kernel, blank_id=blank_id, vt=vt),
+        functools.partial(_beta_grad_kernel, blank_id=blank_id, vt=vt,
+                          tt=tt, t_total=t_max),
         grid=grid,
         in_specs=[big_spec, resident, resident, resident, resident,
                   one_spec(1), one_spec(1), one_spec(1), one_spec(s1),
                   one_spec(s1)],
         out_specs=(big_spec, resident),
         out_shape=(_struct((batch, t_max, s1, v), out_dtype, vma),
-                   _struct((batch, t_max, s1), jnp.float32, vma)),
+                   _struct((batch, t_pad, s1), jnp.float32, vma)),
         scratch_shapes=[pltpu.VMEM((batch, s1), jnp.float32),
-                        pltpu.VMEM((batch, s1), jnp.float32),
-                        pltpu.VMEM((batch, s1), jnp.float32),
-                        pltpu.VMEM((batch, s1), jnp.float32)],
+                        pltpu.VMEM((batch, tt, s1), jnp.float32),
+                        pltpu.VMEM((batch, tt, s1), jnp.float32),
+                        pltpu.VMEM((batch, tt, s1), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
-            vmem_limit_bytes=_VMEM_LIMIT.vmem_limit_bytes),
+            vmem_limit_bytes=_fused_vmem_limit(tt)),
         interpret=interpret,
     )(logits, denom, lpb_bmask, lpl_bmask, aprev_masked, input_lengths,
       ll_bounded, grad_scale, beta_virtual[:, None, :],
       labels_ext[:, None, :])
-    return grads, betas
+    return grads, betas[:, :t_max]
 
 
 def _stats_partial_kernel(x_ref, m_ref, se_ref, m_sc, se_sc, *, v_total,

@@ -34,6 +34,10 @@ class Config:
       DEBUG_TIME); under jit use utils.profiling.device_trace instead.
     debug_fwdbwd / debug_grads: per-call log-likelihood prints and gradient
       summaries via jax.debug.print (reference DEBUG_FWDBWD / DEBUG_GRADS).
+    debug_space: one line per traced loss call reporting the chosen
+      pipeline, predicted kernel VMEM footprint, and big-tensor HBM
+      traffic (reference DEBUG_SPACE workspace reports,
+      cpu_workspace_manager.h:110-112 / gpu_workspace_manager.h:249-251).
     check_fwd_bwd: warn when |ll_fwd - ll_bwd| > fwd_bwd_tol, the reference's
       only runtime self-check (cpu_rnnt.h:256-259).
     """
@@ -41,6 +45,7 @@ class Config:
     backend: str = os.environ.get("MRNNT_BACKEND", "auto")
     interpret: bool = _env_bool("MRNNT_INTERPRET", False)
     debug_time: bool = _env_bool("MRNNT_DEBUG_TIME", False)
+    debug_space: bool = _env_bool("MRNNT_DEBUG_SPACE", False)
     debug_fwdbwd: bool = _env_bool("MRNNT_DEBUG_FWDBWD", False)
     debug_grads: bool = _env_bool("MRNNT_DEBUG_GRADS", False)
     check_fwd_bwd: bool = _env_bool("MRNNT_CHECK_FWD_BWD", False)

@@ -104,6 +104,41 @@ def emit_loss_debug(ll_fwd, ll_bwd=None, grads=None) -> None:
             l2=jnp.sqrt(jnp.sum(g * g)))
 
 
+def report_space(pipeline: str, logits_shape, dtype, *, reads: int,
+                 writes: int, vmem_bytes=None, tiles=None, file=None) -> None:
+    """DEBUG_SPACE equivalent: one line per traced loss call.
+
+    The reference prints its workspace allocation in MB behind DEBUG_SPACE
+    (reference: cpu_workspace_manager.h:110-112,
+    gpu_workspace_manager.h:249-251). Here the analogous decision is which
+    Pallas pipeline a shape takes (DP-fused / split / banded / XLA
+    reference), the predicted on-chip VMEM footprint of its kernels
+    (kernels.fused_dp_vmem_bytes), and the big-tensor HBM traffic the
+    orchestration is committed to (reads + writes of the [B, T, S1, V]
+    tensor — the quantity every perf claim in DESIGN.md is budgeted in).
+    All of it is shape-static, so the line prints host-side at TRACE time:
+    exact, free on device, and independent of host-callback support (which
+    the axon runtime lacks). Like the other debug_* flags, an
+    already-compiled call won't re-print until its cache is cleared.
+    """
+    if not get_config().debug_space:
+        return
+    big_mb = int(np.prod(logits_shape)) * jnp.dtype(dtype).itemsize / 2**20
+    parts = [
+        f"mrnnt space: pipeline={pipeline}",
+        f"shape={tuple(int(d) for d in logits_shape)}",
+        f"dtype={jnp.dtype(dtype).name}",
+        f"big_tensor={big_mb:.1f}MiB",
+        f"hbm_traffic={(reads + writes) * big_mb:.1f}MiB"
+        f" ({reads}r+{writes}w)",
+    ]
+    if tiles is not None:
+        parts.append(f"tiles={tuple(tiles)}")
+    if vmem_bytes is not None:
+        parts.append(f"kernel_vmem={vmem_bytes / 2**20:.1f}MiB")
+    print(" ".join(parts), file=file)
+
+
 @contextmanager
 def interpret_mode():
     """Force Pallas kernels onto the interpreter within the scope."""

@@ -64,6 +64,32 @@ def readme_batch():
             np.array([4], np.int32), np.array([2], np.int32))
 
 
+def repeat_label_case(seed, batch, t, s, v, blank_id=0):
+    """Random case with adjacent repeated labels planted around S/2.
+
+    Mirrors the reference generator's deliberate repeat-planting
+    (reference: tests/random.cpp:31-35): adjacent equal labels stress the
+    label[s-1]/label[s] gather distinction in the stats and grad kernels
+    (a wrong-slot gather is invisible when all labels differ only by
+    luck). Labels avoid blank_id; blank may be any vocab index.
+    """
+    rng = np.random.RandomState(seed)
+    logits = rng.randn(batch, t, s + 1, v).astype(np.float32) * 2
+    labels = rng.randint(0, v - 1, size=(batch, s)).astype(np.int32)
+    labels = np.where(labels >= blank_id, labels + 1, labels)  # skip blank
+    mid = s // 2
+    if s >= 2:
+        labels[:, mid] = labels[:, mid - 1]          # plant l[m-1] == l[m]
+    if s >= 4:
+        labels[:, mid + 1] = labels[:, mid]          # a triple repeat
+    ilen = np.full((batch,), t, np.int32)
+    slen = np.full((batch,), s, np.int32)
+    if batch > 1:
+        ilen[1] = max(s + 1, t - 3)
+        slen[-1] = max(0, s - 2)
+    return logits, labels, ilen, slen
+
+
 def multibatch(t_pad=None, s_pad=None):
     """Padded 2-sample batch mirroring tests/test_cpu.cpp:194-295.
 

@@ -1,0 +1,55 @@
+"""Smoke tests: every examples/ script must run end-to-end.
+
+The reference ships runnable binding test scripts as its user-facing
+examples (reference: pytorch_binding/test.py:6-68); here the examples are
+standalone mains, and nothing else prevents them rotting against API
+changes — so each one is executed (slow-marked, tiny step counts) on the
+CPU mesh. These assert only "runs to completion + sane output", not
+convergence (examples document their own convergence criteria at full
+step counts).
+"""
+
+import sys
+from pathlib import Path
+
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "examples"))
+
+
+@pytest.mark.slow
+def test_train_tiny_example(tmp_path):
+    import json
+
+    import train_tiny
+
+    out = tmp_path / "train.json"
+    rc = train_tiny.main(["--steps", "4", "--batch", "8",
+                          "--json-out", str(out)])
+    assert rc in (None, 0)
+    rec = json.loads(out.read_text())
+    losses = rec["loss_curve"] if "loss_curve" in rec else rec["losses"]
+    assert len(losses) > 0
+    assert all(l == l and l != float("inf") for l in losses)  # finite
+
+
+@pytest.mark.slow
+def test_streaming_demo_example(capfd):
+    import streaming_demo
+
+    rc = streaming_demo.main(["--steps", "3", "--chunk", "16"])
+    assert rc in (None, 0)
+    out = capfd.readouterr().out
+    # The demo's contract: the streaming decode must EXACTLY match the
+    # full-utterance decode (the exactness claim it exists to show).
+    assert "streaming == full-utterance" in out or "exact" in out.lower()
+
+
+@pytest.mark.slow
+def test_realign_restrict_example(capfd):
+    import realign_restrict
+
+    rc = realign_restrict.main(["--warmup", "3", "--restricted", "3",
+                                "--realign-every", "2"])
+    assert rc in (None, 0)
+    assert "restricted" in capfd.readouterr().out.lower()

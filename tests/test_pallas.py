@@ -63,6 +63,88 @@ def test_pallas_matches_oracle_random(seed, batch, t, s, v):
                                rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.parametrize("t", [12, 13])  # odd T exercises the T-pad path
+def test_pallas_two_row_blocks_match_oracle(t):
+    # The multi-t-row DP-fused regime (TT=2, the bf16 blocking) forced via
+    # tiles= on f32 inputs so the comparison isolates the blocking from the
+    # dtype. Odd T drives the wrapper's small-array padding and the
+    # kernels' overhang-row masking. Repeated labels + nonzero blank (the
+    # reference generator plants repeats around S/2, tests/random.cpp:31-35)
+    # stress the label-gather slots.
+    from monotonic_rnnt_tpu.ops.bands import default_bands
+    from monotonic_rnnt_tpu.ops.helpers import extend_labels
+    from monotonic_rnnt_tpu.ops.pallas.fused import _pipeline_dp_fused
+    from monotonic_rnnt_tpu.ops.pallas.kernels import round_up
+
+    B, S, V = 3, 6, 40
+    blank = V - 1
+    lg, lb, il, sl = golden.repeat_label_case(23, B, t, S, V, blank_id=blank)
+    logits, labels = jnp.asarray(lg), jnp.asarray(lb)
+    ilen, slen = jnp.asarray(il), jnp.asarray(sl)
+    c_ref, g_ref = rnnt_loss_reference(logits, labels, ilen, slen,
+                                       blank_id=blank)
+    bands = default_bands(ilen, slen, t)
+    labels_ext = extend_labels(labels, slen, S + 1)
+    c2, g2 = jax.jit(_pipeline_dp_fused, static_argnums=(5, 6, 7, 8))(
+        logits, labels_ext, ilen, slen, bands, blank, True, True,
+        (2, round_up(V, 128)))
+    np.testing.assert_allclose(np.asarray(c2), np.asarray(c_ref),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(g2), np.asarray(g_ref),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_pallas_repeated_labels_nonzero_blank_both_pipelines(monkeypatch):
+    # Deterministic repeated-label + blank_id=V-1 case through BOTH Pallas
+    # orchestrations: the DP-fused default and the split fallback (forced
+    # by patching the tile heuristic to reject the shape).
+    from monotonic_rnnt_tpu.ops.pallas import fused as fused_mod
+
+    B, T, S, V = 4, 16, 7, 33
+    blank = V - 1
+    lg, lb, il, sl = golden.repeat_label_case(29, B, T, S, V, blank_id=blank)
+    args = tuple(jnp.asarray(a) for a in (lg, lb, il, sl))
+    c_ref, g_ref = rnnt_loss_reference(*args, blank_id=blank)
+
+    c_fused, g_fused = rnnt_loss_pallas(*args, blank_id=blank,
+                                        interpret=True)
+    np.testing.assert_allclose(np.asarray(c_fused), np.asarray(c_ref),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(g_fused), np.asarray(g_ref),
+                               rtol=1e-4, atol=1e-5)
+
+    monkeypatch.setattr(fused_mod, "fused_dp_tiles", lambda *a, **k: None)
+    c_split, g_split = jax.jit(
+        _pal_eager, static_argnames=("blank_id", "interpret"))(
+        *args, blank_id=blank, interpret=True)
+    np.testing.assert_allclose(np.asarray(c_split), np.asarray(c_ref),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(g_split), np.asarray(g_ref),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_pallas_bf16_auto_two_row_matches_reference():
+    # bf16 inputs auto-select the TT=2 regime (fused_dp_tiles dtype
+    # dispatch); parity vs the reference backend on the SAME bf16 values
+    # (both accumulate in f32, so only the one-multiply grad rounding and
+    # the bf16 grad write differ).
+    from monotonic_rnnt_tpu.ops.pallas.kernels import fused_dp_tiles
+
+    B, T, S, V = 3, 13, 5, 40
+    lg, lb, il, sl = golden.repeat_label_case(31, B, T, S, V)
+    logits16 = jnp.asarray(lg).astype(jnp.bfloat16)
+    args = (logits16, jnp.asarray(lb), jnp.asarray(il), jnp.asarray(sl))
+    assert fused_dp_tiles(B, T, S + 1, V, jnp.bfloat16)[0] == 2
+    c_ref, g_ref = rnnt_loss_reference(*args)
+    c_pal, g_pal = rnnt_loss_pallas(*args, interpret=True)
+    assert g_pal.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(c_pal), np.asarray(c_ref),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(g_pal, dtype=np.float32),
+        np.asarray(g_ref, dtype=np.float32), rtol=1e-2, atol=1e-3)
+
+
 def test_pallas_alignment_bands():
     logits, labels, ilen, slen = golden.readme_batch()
     args = (jnp.asarray(logits), jnp.asarray(labels), jnp.asarray(ilen),

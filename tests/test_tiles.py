@@ -10,6 +10,7 @@ own headline/banded shapes.
 import pytest
 
 from monotonic_rnnt_tpu.ops.pallas.kernels import (_FUSED_DP_VMEM_CAP,
+                                                   _FUSED_DP_VMEM_CAP_TT2,
                                                    _VMEM_BUDGET_BYTES,
                                                    dp_tiles, dp_tiles_banded,
                                                    fused_dp_tiles,
@@ -80,6 +81,36 @@ def test_fused_dp_tiles_vmem_budget(batch, t, s, v):
     assert vt <= round_up(v, 128)
     real = fused_dp_vmem_bytes(batch, t, s1, vt)
     assert real <= _FUSED_DP_VMEM_CAP, (tt, vt, real)
+
+
+@pytest.mark.parametrize("batch,t,s,v", SHAPES + [
+    (8, 500, 199, 10000),
+    (4, 800, 199, 2048),
+])
+def test_fused_dp_tiles_bf16_two_row(batch, t, s, v):
+    # bf16 picks TT=2 exactly when the full-V two-row block fits its cap
+    # (the whole point: same block bytes as f32's one-row block, half the
+    # per-grid-step fixed cost); otherwise it must fall back to the f32
+    # one-row decision unchanged.
+    import jax.numpy as jnp
+    s1 = s + 1
+    tiles16 = fused_dp_tiles(batch, t, s1, v, jnp.bfloat16)
+    tiles32 = fused_dp_tiles(batch, t, s1, v)
+    if tiles16 is None:
+        assert tiles32 is None
+        return
+    tt, vt = tiles16
+    assert vt % 128 == 0 and vt <= round_up(v, 128)
+    if tt == 2:
+        assert vt == round_up(v, 128)  # TT=2 only with the whole vocab
+        assert t >= 2
+        real = fused_dp_vmem_bytes(batch, t, s1, vt, tt=2, itemsize=2)
+        assert real <= _FUSED_DP_VMEM_CAP_TT2, (vt, real)
+    else:
+        assert tiles16 == tiles32      # fallback preserves f32 decisions
+    # the headline bench shape must land in the two-row regime
+    if (batch, t, s, v) == (32, 200, 50, 1000):
+        assert tt == 2
 
 
 @pytest.mark.parametrize("batch,t,w", [

@@ -73,6 +73,44 @@ def test_debug_flags_emit_output(capfd):
     assert "mrnnt" not in out  # flags off -> silent
 
 
+def test_debug_space_reports_pipeline(capfd):
+    # The DEBUG_SPACE equivalent (reference cpu_workspace_manager.h:110-112):
+    # one line per traced loss call with the chosen pipeline, predicted
+    # kernel VMEM, and big-tensor HBM traffic. Printed at trace time, so
+    # it works on hosts without callback support.
+    import numpy as np
+    import jax.numpy as jnp
+    from monotonic_rnnt_tpu.ops.pallas.fused import rnnt_loss_pallas
+    from monotonic_rnnt_tpu.utils.config import config_override
+
+    rng = np.random.RandomState(0)
+    B, T, S, V = 2, 6, 3, 20
+    logits = jnp.asarray(rng.randn(B, T, S + 1, V).astype(np.float32))
+    labels = jnp.asarray(rng.randint(1, V, size=(B, S)).astype(np.int32))
+    ilen = jnp.full((B,), T, jnp.int32)
+    slen = jnp.full((B,), S, jnp.int32)
+
+    with config_override(debug_space=True):
+        rnnt_loss_pallas(logits, labels, ilen, slen, interpret=True)
+        out = capfd.readouterr().out
+        assert "pipeline=dp-fused" in out
+        assert "kernel_vmem=" in out and "2r+1w" in out
+        assert f"shape=({B}, {T}, {S + 1}, {V})" in out
+
+        rnnt_loss_pallas(logits, labels, ilen, slen, with_grads=False,
+                         interpret=True)
+        assert "1r+0w" in capfd.readouterr().out
+
+        # bf16 reports the two-row tiles
+        rnnt_loss_pallas(logits.astype(jnp.bfloat16), labels, ilen, slen,
+                         interpret=True)
+        out = capfd.readouterr().out
+        assert "dtype=bfloat16" in out and "tiles=(2," in out
+
+    rnnt_loss_pallas(logits, labels, ilen, slen, interpret=True)
+    assert "pipeline=" not in capfd.readouterr().out  # flag off -> silent
+
+
 def test_log_diff_exp():
     import numpy as np
     import jax.numpy as jnp
