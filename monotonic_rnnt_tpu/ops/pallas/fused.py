@@ -59,6 +59,12 @@ def rnnt_loss_pallas(
     labels_ext = extend_labels(labels, slen, s1)
 
     fused_tiles = fused_dp_tiles(batch, t_max, s1, v, logits.dtype)
+    if cfg.pipeline == "split":
+        fused_tiles = None
+    elif cfg.pipeline == "fused" and fused_tiles is None:
+        raise ValueError(
+            f"pipeline='fused' but shape {logits.shape} ({logits.dtype}) "
+            "exceeds the DP-fused VMEM budget (fused_dp_tiles is None)")
     if fused_tiles is not None:
         report_space(
             "dp-fused", logits.shape, logits.dtype, tiles=fused_tiles,
@@ -205,6 +211,8 @@ def deferred_grad_supported(logits_shape, dtype=jnp.float32) -> bool:
     """True when the deferred-gradient route (fwd 1 read, bwd 1 read +
     1 write, cotangent folded in-kernel) applies to this shape/dtype."""
     batch, t_max, s1, v = logits_shape
+    if get_config().pipeline == "split":
+        return False
     return fused_dp_tiles(batch, t_max, s1, v, dtype) is not None
 
 

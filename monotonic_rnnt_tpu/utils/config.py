@@ -40,9 +40,16 @@ class Config:
       cpu_workspace_manager.h:110-112 / gpu_workspace_manager.h:249-251).
     check_fwd_bwd: warn when |ll_fwd - ll_bwd| > fwd_bwd_tol, the reference's
       only runtime self-check (cpu_rnnt.h:256-259).
+    pipeline: 'auto' | 'fused' | 'split'. 'auto' picks the DP-fused
+      orchestration whenever the shape fits its VMEM budget and the split
+      (stats / fwdbwd scan / grad) pipeline otherwise; 'split' forces the
+      fallback (the reference's USE_NAIVE_KERNEL selection role,
+      gpu_rnnt.h:98-110, as a runtime flag); 'fused' asserts the shape
+      fits and never silently falls back.
     """
 
     backend: str = os.environ.get("MRNNT_BACKEND", "auto")
+    pipeline: str = os.environ.get("MRNNT_PIPELINE", "auto")
     interpret: bool = _env_bool("MRNNT_INTERPRET", False)
     debug_time: bool = _env_bool("MRNNT_DEBUG_TIME", False)
     debug_space: bool = _env_bool("MRNNT_DEBUG_SPACE", False)

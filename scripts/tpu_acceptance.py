@@ -456,6 +456,81 @@ def main(argv=None):
     check("pallas export ('tpu',) round-trip == live pipeline",
           pallas_export_roundtrip)
 
+    def split_forced_parity():
+        # The split pipeline (softmax_stats -> lane-packed fwdbwd_scan ->
+        # grad_pass) compiled and EXECUTED on the real chip — the compiled-
+        # TPU-only bug class (e.g. the band_labels bf16 rounding bug) is
+        # invisible to the interpret-mode suite. pipeline='split' is the
+        # runtime equivalent of the reference's USE_NAIVE_KERNEL selection
+        # (gpu_rnnt.h:98-110). Uses a nonzero blank id and planted adjacent
+        # repeated labels (the label[s-1]/label[s] gather distinction).
+        from monotonic_rnnt_tpu.utils.config import config_override
+
+        rng = np.random.RandomState(23)
+        B, T, S, V = 4, 48, 12, 384
+        labels = rng.randint(0, V - 1, (B, S)).astype(np.int32)
+        labels[:, S // 2] = labels[:, S // 2 - 1]  # adjacent repeat
+        labels[:, S // 2 + 1] = labels[:, S // 2 - 1]
+        logits = jnp.asarray(rng.randn(B, T, S + 1, V).astype(np.float32))
+        il = jnp.asarray(rng.randint(S + 1, T + 1, (B,)), jnp.int32)
+        sl = jnp.asarray(np.array([S, S - 3, 0, S], np.int32))
+        with config_override(pipeline="split"):
+            c1, g1 = jax.jit(lambda *a: rnnt_loss_pallas(*a, blank_id=V - 1)
+                             )(logits, jnp.asarray(labels), il, sl)
+        c2, g2 = f_ref(logits, jnp.asarray(labels), il, sl, blank_id=V - 1)
+        ce = float(jnp.max(jnp.abs(c1 - c2)))
+        ge = float(jnp.max(jnp.abs(g1 - g2)))
+        assert ce < 1e-3 and ge < 5e-4, (ce, ge)
+
+    check("split pipeline forced (compiled, blank=V-1, repeats)",
+          split_forced_parity)
+
+    def split_natural_grads():
+        # A genuinely over-cap shape through the PUBLIC pipeline selection:
+        # fused_dp_tiles is None at (8,850,300,512) — the [B,T,S1] resident
+        # arrays alone exceed the DP-fused VMEM cap — so rnnt_loss_pallas
+        # takes the split pipeline with no override. Full gradient parity
+        # vs the oracle (big-tensor regime: 4.2 GB logits).
+        from monotonic_rnnt_tpu.ops.pallas.kernels import fused_dp_tiles
+
+        B, T, S, V = 8, 850, 299, 512
+        assert fused_dp_tiles(B, T, S + 1, V) is None
+        rng = np.random.RandomState(29)
+        logits = jnp.asarray(rng.randn(B, T, S + 1, V).astype(np.float32))
+        labels = jnp.asarray(rng.randint(1, V, (B, S)).astype(np.int32))
+        il = jnp.asarray(rng.randint(S + 1, T + 1, (B,)), jnp.int32)
+        sl = jnp.asarray(rng.randint(0, S + 1, (B,)), jnp.int32)
+        c1, g1 = f_pal(logits, labels, il, sl)
+        c2, g2 = f_ref(logits, labels, il, sl)
+        ce = float(jnp.max(jnp.abs(c1 - c2)))
+        ge = float(jax.jit(lambda a, b: jnp.max(jnp.abs(a - b)))(g1, g2))
+        del g1, g2, logits
+        assert ce < 2e-3 and ge < 5e-4, (ce, ge)
+
+    check("split natural over-cap (8,850,299,512) grads parity",
+          split_natural_grads)
+
+    def split_natural_cost_only():
+        # Same regime at a production vocab (V=1024, 8.4 GB logits),
+        # cost-only: the split alpha_scan path compiled on-chip.
+        from monotonic_rnnt_tpu.ops.pallas.kernels import fused_dp_tiles
+
+        B, T, S, V = 8, 850, 299, 1024
+        assert fused_dp_tiles(B, T, S + 1, V) is None
+        rng = np.random.RandomState(31)
+        logits = jnp.asarray(rng.randn(B, T, S + 1, V).astype(np.float32))
+        labels = jnp.asarray(rng.randint(1, V, (B, S)).astype(np.int32))
+        il = jnp.full((B,), T, jnp.int32)
+        sl = jnp.full((B,), S, jnp.int32)
+        c1, _ = f_pal(logits, labels, il, sl, with_grads=False)
+        c2, _ = f_ref(logits, labels, il, sl, with_grads=False)
+        ce = float(jnp.max(jnp.abs(c1 - c2)))
+        del logits
+        assert ce < 2e-3, ce
+
+    check("split natural over-cap (8,850,299,1024) cost-only parity",
+          split_natural_cost_only)
+
     if args.json_out:
         import json
 

@@ -330,6 +330,40 @@ def test_pipeline_split_fallback_matches_oracle():
     assert fused_dp_tiles(4, 37, 10, 21) is not None
 
 
+def test_pipeline_config_flag():
+    # pipeline='split' forces the fallback on a shape the DP-fused path
+    # would otherwise take (the reference's USE_NAIVE_KERNEL selection as
+    # a runtime flag, gpu_rnnt.h:98-110); parity holds and the deferred
+    # route reports unsupported. pipeline='fused' raises on an over-cap
+    # shape instead of silently falling back.
+    from monotonic_rnnt_tpu.ops.pallas.fused import deferred_grad_supported
+    from monotonic_rnnt_tpu.ops.pallas.kernels import fused_dp_tiles
+    from monotonic_rnnt_tpu.utils.config import config_override
+
+    B, T, S, V = 3, 12, 5, 40
+    blank = V - 1
+    lg, lb, il, sl = golden.repeat_label_case(37, B, T, S, V, blank_id=blank)
+    args = tuple(jnp.asarray(a) for a in (lg, lb, il, sl))
+    assert fused_dp_tiles(B, T, S + 1, V) is not None
+    c_ref, g_ref = rnnt_loss_reference(*args, blank_id=blank)
+    with config_override(pipeline="split"):
+        assert not deferred_grad_supported((B, T, S + 1, V))
+        c_split, g_split = jax.jit(
+            _pal_eager, static_argnames=("blank_id", "interpret"))(
+            *args, blank_id=blank, interpret=True)
+    np.testing.assert_allclose(np.asarray(c_split), np.asarray(c_ref),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(g_split), np.asarray(g_ref),
+                               rtol=1e-4, atol=1e-5)
+
+    with config_override(pipeline="fused"):
+        with pytest.raises(ValueError, match="pipeline='fused'"):
+            _pal_eager(jnp.zeros((8, 850, 300, 8), jnp.float32),
+                       jnp.zeros((8, 299), jnp.int32),
+                       jnp.full((8,), 850, jnp.int32),
+                       jnp.full((8,), 299, jnp.int32), interpret=True)
+
+
 def test_deferred_gradient_route_matches_reference():
     # Differentiating the public API with backend='pallas' takes the
     # deferred route (fwd = one stats+alpha read; bwd = beta+grad with the

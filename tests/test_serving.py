@@ -51,6 +51,7 @@ def test_export_shape_contract_enforced():
         fn(bad, labels[:2], ilen[:2], slen[:2])
 
 
+@pytest.mark.slow  # ~40-80 s: SavedModel/export round-trip; default suite keeps the smaller round-trips
 def test_export_banded_loss_roundtrip():
     """Banded-loss artifact == live banded loss (costs + packed grads)."""
     from monotonic_rnnt_tpu.ops.banded import monotonic_rnnt_loss_banded

@@ -172,6 +172,7 @@ def test_tf_banded_padded_matches_jax():
                                atol=1e-6)
 
 
+@pytest.mark.slow  # ~40-80 s: SavedModel/export round-trip; default suite keeps the smaller round-trips
 def test_tf_saved_model_roundtrip_losses(tmp_path):
     """SavedModel save/load of the jax2tf loss surface preserves outputs.
 
@@ -219,6 +220,7 @@ def test_tf_saved_model_roundtrip_losses(tmp_path):
         c_band.numpy(), atol=1e-6)
 
 
+@pytest.mark.slow  # ~40-80 s: SavedModel/export round-trip; default suite keeps the smaller round-trips
 def test_tf_saved_model_roundtrip_decoder(tmp_path):
     """SavedModel decoder artifact (weights as variables) == JAX decode."""
     import jax
