@@ -27,6 +27,8 @@ def main(argv=None):
                         "decoders should reproduce the targets")
     p.add_argument("--json-out", default=None,
                    help="write the loss curve + decode accuracy as JSON")
+    p.add_argument("--seed", type=int, default=0,
+                   help="data + init seed (recorded in the JSON provenance)")
     args = p.parse_args(argv)
 
     import jax
@@ -49,7 +51,8 @@ def main(argv=None):
     vocab = 64
     data = SyntheticDataset(
         SyntheticConfig(feat_dim=32, min_frames=32, max_frames=64,
-                        frames_per_label=10.0, vocab_size=vocab, seed=0),
+                        frames_per_label=10.0, vocab_size=vocab,
+                        seed=args.seed),
         batch_size=batch)
     cfg = TransducerConfig(
         encoder=ConformerConfig(num_layers=2, dim=96, num_heads=4,
@@ -62,7 +65,7 @@ def main(argv=None):
     if args.overfit:
         it = iter(lambda: first_batch, None)   # same batch forever
     example = tuple(jnp.asarray(a) for a in first_batch)
-    state = create_train_state(cfg, jax.random.PRNGKey(0), example,
+    state = create_train_state(cfg, jax.random.PRNGKey(args.seed), example,
                                learning_rate=3e-3, warmup_steps=5)
     mesh = make_mesh(data=n_dev, model=1)
     step = make_sharded_train_step(mesh)
@@ -110,6 +113,8 @@ def main(argv=None):
     if args.json_out:
         import json
 
+        from monotonic_rnnt_tpu.utils.provenance import provenance_stamp
+
         Path(args.json_out).write_text(json.dumps({
             "device": jax.devices()[0].device_kind,
             "backend": jax.default_backend(),
@@ -118,6 +123,7 @@ def main(argv=None):
             "label_acc_init": round(acc0, 4),
             "label_acc_final": acc_curve[-1]["label_acc"],
             "loss_curve": curve, "label_acc_curve": acc_curve,
+            "provenance": provenance_stamp(seed=args.seed),
         }, indent=1) + "\n")
 
     # Decode the last batch, greedy and beam.

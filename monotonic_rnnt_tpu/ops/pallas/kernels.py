@@ -1015,26 +1015,35 @@ def _fwdbwd_kernel(str1_ref, str2_ref, ilen_ref, bvirt_ref, out_ref, carry,
 
     u = next(f for f in (unroll, 8, 4, 2, 1) if tt % f == 0)
 
-    def step(k, base, ops, x):
-        str1_c, str2_c = ops
+    def step(k, base, row, x):
+        str1_c, str2_c = row
         uv = (base + k) <= thr                             # [bt, 1]
         x1 = jnp.where(jnp.logical_and(~half_left, uv), bvirt, x)
-        up_x = jnp.where(up_fill, NEG_INF, jnp.roll(x1, 1, axis=1))
-        dn_x = jnp.where(dn_fill, NEG_INF, jnp.roll(x1, -1, axis=1))
-        ta = x1 + str1_c[:, k, :]
-        tb = jnp.where(half_left, up_x, dn_x) + str2_c[:, k, :]
+        # pltpu.roll, NOT jnp.roll: Mosaic's lowering of jnp.roll crashes
+        # the TPU compiler outright on multi-vreg rows (lanes > 128) — a
+        # compiled-only failure invisible to interpret mode, found by the
+        # on-chip over-cap acceptance check (w2 = 600). pltpu.roll takes a
+        # non-negative shift, so roll(-1) is roll(w2 - 1).
+        up_x = jnp.where(up_fill, NEG_INF, pltpu.roll(x1, 1, axis=1))
+        dn_x = jnp.where(dn_fill, NEG_INF,
+                         pltpu.roll(x1, x1.shape[-1] - 1, axis=1))
+        ta = x1 + str1_c
+        tb = jnp.where(half_left, up_x, dn_x) + str2_c
         return log_sum_exp(ta, tb)
 
     def body(iu, _):
-        sl = pl.dslice(iu * u, u)
-        ops = (str1_ref[:, sl, :], str2_ref[:, sl, :])
+        # One dslice per ROW: reading a u-row dynamic slice and indexing it
+        # statically per k crashes the TPU compiler when rows span multiple
+        # vregs (lanes > 128) — a compiled-only failure invisible to the
+        # interpret suite, found by the on-chip over-cap acceptance check
+        # (w2 = 600 at (8,850,300)). Per-row slices compile at every width.
         base = t0 + iu * u
         x = carry[...]
-        rows = []
         for k in range(u):
-            x = step(k, base, ops, x)
-            rows.append(x)
-        out_ref[:, sl, :] = jnp.stack(rows, axis=1)
+            rsl = pl.dslice(iu * u + k, 1)
+            row = (str1_ref[:, rsl, :][:, 0, :], str2_ref[:, rsl, :][:, 0, :])
+            x = step(k, base, row, x)
+            out_ref[:, rsl, :] = x[:, None, :]
         carry[...] = x
         return 0
 
@@ -1172,29 +1181,35 @@ def _fwdbwd_band_kernel(str1_ref, str2_ref, pred_ref, uv_ref, bvp_ref,
 
     u = next(f for f in (unroll, 8, 4, 2, 1) if tt % f == 0)
 
-    def step(k, ops, x):
-        str1_c, str2_c, pred_c, uv_c, bvp_c = ops
-        x1 = jnp.where(uv_c[:, k, :], bvp_c[:, k, :], x)
-        up_x = jnp.where(up_fill, NEG_INF, jnp.roll(x1, 1, axis=1))
-        dn_x = jnp.where(dn_fill, NEG_INF, jnp.roll(x1, -1, axis=1))
-        p = pred_c[:, k, :]
+    def step(row, x):
+        str1_c, str2_c, pred_c, uv_c, bvp_c = row
+        x1 = jnp.where(uv_c, bvp_c, x)
+        # pltpu.roll for the same reason as _fwdbwd_kernel: jnp.roll
+        # crashes the TPU compiler on multi-vreg rows (2W > 128 happens at
+        # wide alignment bands).
+        up_x = jnp.where(up_fill, NEG_INF, pltpu.roll(x1, 1, axis=1))
+        dn_x = jnp.where(dn_fill, NEG_INF,
+                         pltpu.roll(x1, x1.shape[-1] - 1, axis=1))
+        p = pred_c
         v1 = jnp.where(half_left, dn_x, up_x)
-        ta = jnp.where(p, v1, x1) + str1_c[:, k, :]
+        ta = jnp.where(p, v1, x1) + str1_c
         a2 = jnp.where(half_left & lane0, NEG_INF, x1)
         b2 = jnp.where(half_left, up_x, dn_x)
-        tb = jnp.where(p, a2, b2) + str2_c[:, k, :]
+        tb = jnp.where(p, a2, b2) + str2_c
         return log_sum_exp(ta, tb)
 
     def body(iu, _):
-        sl = pl.dslice(iu * u, u)
-        ops = (str1_ref[:, sl, :], str2_ref[:, sl, :], pred_ref[:, sl, :],
-               uv_ref[:, sl, :], bvp_ref[:, sl, :])
+        # One dslice per ROW (not one u-row slice indexed statically): the
+        # u-row dynamic-slice read feeding static per-k indexing crashes
+        # the TPU compiler when rows span multiple vregs (same failure
+        # mode as _fwdbwd_kernel's; found by the on-chip over-cap check).
         x = carry[...]
-        rows = []
         for k in range(u):
-            x = step(k, ops, x)
-            rows.append(x)
-        out_ref[:, sl, :] = jnp.stack(rows, axis=1)
+            rsl = pl.dslice(iu * u + k, 1)
+            row = tuple(r[:, rsl, :][:, 0, :] for r in
+                        (str1_ref, str2_ref, pred_ref, uv_ref, bvp_ref))
+            x = step(row, x)
+            out_ref[:, rsl, :] = x[:, None, :]
         carry[...] = x
         return 0
 

@@ -26,6 +26,32 @@ failures = []
 RESULTS = []
 
 
+def _settle():
+    """Let the device's async deallocations drain between checks.
+
+    Buffer frees through the axon tunnel are asynchronous: a heavy check's
+    multi-GB operands can still be live server-side when the next check
+    allocates, and one RESOURCE_EXHAUSTED then cascades through every
+    remaining check (observed live in round 4 — checks that passed in r03
+    failed in sequence after one OOM). gc drops lingering host references,
+    the tiny round-trip orders us after prior traffic, and the sleep gives
+    the server's allocator a beat to reclaim.
+    """
+    import gc
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    gc.collect()
+    try:
+        np.asarray(jax.jit(lambda: jnp.zeros((2,), jnp.float32))())
+    except Exception:  # noqa: BLE001 - the probe must never mask the check
+        pass
+    time.sleep(1.0)
+
+
 def check(name, fn):
     try:
         fn()
@@ -36,6 +62,7 @@ def check(name, fn):
         RESULTS.append({"name": name, "ok": False,
                         "error": f"{type(exc).__name__}: {str(exc)[:200]}"})
         print(f"FAIL {name}: {type(exc).__name__}: {str(exc)[:200]}")
+    _settle()
 
 
 def main(argv=None):
@@ -501,10 +528,17 @@ def main(argv=None):
         il = jnp.asarray(rng.randint(S + 1, T + 1, (B,)), jnp.int32)
         sl = jnp.asarray(rng.randint(0, S + 1, (B,)), jnp.int32)
         c1, g1 = f_pal(logits, labels, il, sl)
-        c2, g2 = f_ref(logits, labels, il, sl)
-        ce = float(jnp.max(jnp.abs(c1 - c2)))
-        ge = float(jax.jit(lambda a, b: jnp.max(jnp.abs(a - b)))(g1, g2))
-        del g1, g2, logits
+        # Oracle runs per half-batch to cap peak HBM at logits + g1 +
+        # half of g2 (~10.5 GB) instead of three full tensors (~12.6 GB).
+        maxdiff = jax.jit(lambda a, b: jnp.max(jnp.abs(a - b)))
+        ce = ge = 0.0
+        for lo, hi in ((0, B // 2), (B // 2, B)):
+            c2h, g2h = f_ref(logits[lo:hi], labels[lo:hi], il[lo:hi],
+                             sl[lo:hi])
+            ce = max(ce, float(jnp.max(jnp.abs(c1[lo:hi] - c2h))))
+            ge = max(ge, float(maxdiff(g1[lo:hi], g2h)))
+            del c2h, g2h
+        del g1, logits
         assert ce < 2e-3 and ge < 5e-4, (ce, ge)
 
     check("split natural over-cap (8,850,299,512) grads parity",
