@@ -32,9 +32,38 @@ def main(argv=None):
     import tpu_acceptance
 
     t0 = time.time()
-    rc_acc = tpu_acceptance.main([])
+    # The multi-GB over-cap checks run LAST and in their own processes:
+    # they need a clean device heap (usable HBM through the tunnel is
+    # ~12-14 GB and the checks peak near 10), and one RESOURCE_EXHAUSTED
+    # poisons every later allocation in the process that hit it.
+    rc_acc = tpu_acceptance.main(["--skip", "split natural"])
     rc_fuzz = fuzz_tpu.main(["--cases", str(args.cases),
                              "--seed", str(args.seed)])
+
+    import json as _json
+    import subprocess
+    import tempfile
+
+    script = Path(__file__).resolve().parent / "tpu_acceptance.py"
+    for sub in ("split natural over-cap (8,850,299,512)",
+                "split natural over-cap (8,850,299,1024)"):
+        with tempfile.NamedTemporaryFile(suffix=".json") as tmp:
+            proc = subprocess.run(
+                [sys.executable, "-u", str(script), "--only", sub,
+                 "--json-out", tmp.name], capture_output=True, text=True,
+                timeout=3600)
+            sys.stdout.write(proc.stdout)
+            try:
+                res = _json.loads(Path(tmp.name).read_text())["checks"]
+            except Exception:  # noqa: BLE001 - subprocess died before dump
+                res = [{"name": sub, "ok": False,
+                        "error": f"subprocess rc={proc.returncode}: "
+                                 f"{proc.stdout[-200:]}"}]
+        tpu_acceptance.RESULTS.extend(res)
+        for r in res:
+            if not r["ok"]:
+                tpu_acceptance.failures.append(r["name"])
+                rc_acc = 1
 
     import jax
 

@@ -52,7 +52,16 @@ def _settle():
     time.sleep(1.0)
 
 
+_ONLY = None
+_SKIP = None
+
+
 def check(name, fn):
+    if _ONLY is not None and _ONLY not in name:
+        return
+    if _SKIP is not None and _SKIP in name:
+        print(f"SKIP {name} (runs in its own process)")
+        return
     try:
         fn()
         RESULTS.append({"name": name, "ok": True})
@@ -70,7 +79,18 @@ def main(argv=None):
 
     ap = argparse.ArgumentParser()
     ap.add_argument("--json-out", default=None)
+    ap.add_argument("--only", default=None,
+                    help="run only checks whose name contains this substring")
+    ap.add_argument("--skip", default=None,
+                    help="skip checks whose name contains this substring "
+                         "(run_acceptance re-runs them in a fresh process: "
+                         "the multi-GB over-cap checks need a clean device "
+                         "heap, and one RESOURCE_EXHAUSTED poisons every "
+                         "later allocation in the process)")
     args = ap.parse_args(argv)
+
+    global _ONLY, _SKIP
+    _ONLY, _SKIP = args.only, args.skip
 
     import jax
     import jax.numpy as jnp
@@ -523,22 +543,28 @@ def main(argv=None):
         B, T, S, V = 8, 850, 299, 512
         assert fused_dp_tiles(B, T, S + 1, V) is None
         rng = np.random.RandomState(29)
-        logits = jnp.asarray(rng.randn(B, T, S + 1, V).astype(np.float32))
+        logits_np = rng.randn(B, T, S + 1, V).astype(np.float32)
         labels = jnp.asarray(rng.randint(1, V, (B, S)).astype(np.int32))
         il = jnp.asarray(rng.randint(S + 1, T + 1, (B,)), jnp.int32)
         sl = jnp.asarray(rng.randint(0, S + 1, (B,)), jnp.int32)
+        logits = jnp.asarray(logits_np)
         c1, g1 = f_pal(logits, labels, il, sl)
-        # Oracle runs per half-batch to cap peak HBM at logits + g1 +
-        # half of g2 (~10.5 GB) instead of three full tensors (~12.6 GB).
+        _ = np.asarray(c1)           # force completion before freeing input
+        del logits
+        # Peak-HBM discipline (the device exposes ~12-14 GB usable through
+        # the tunnel): the Pallas pass holds logits + grads (~8.4 GB); the
+        # oracle then runs per half-batch from the HOST copy so the full
+        # logits never coexist with both gradient tensors.
         maxdiff = jax.jit(lambda a, b: jnp.max(jnp.abs(a - b)))
         ce = ge = 0.0
         for lo, hi in ((0, B // 2), (B // 2, B)):
-            c2h, g2h = f_ref(logits[lo:hi], labels[lo:hi], il[lo:hi],
-                             sl[lo:hi])
+            c2h, g2h = f_ref(jnp.asarray(logits_np[lo:hi]), labels[lo:hi],
+                             il[lo:hi], sl[lo:hi])
             ce = max(ce, float(jnp.max(jnp.abs(c1[lo:hi] - c2h))))
             ge = max(ge, float(maxdiff(g1[lo:hi], g2h)))
             del c2h, g2h
-        del g1, logits
+            _settle()
+        del g1
         assert ce < 2e-3 and ge < 5e-4, (ce, ge)
 
     check("split natural over-cap (8,850,299,512) grads parity",
@@ -552,14 +578,26 @@ def main(argv=None):
         B, T, S, V = 8, 850, 299, 1024
         assert fused_dp_tiles(B, T, S + 1, V) is None
         rng = np.random.RandomState(31)
-        logits = jnp.asarray(rng.randn(B, T, S + 1, V).astype(np.float32))
+        logits_np = rng.randn(B, T, S + 1, V).astype(np.float32)
         labels = jnp.asarray(rng.randint(1, V, (B, S)).astype(np.int32))
         il = jnp.full((B,), T, jnp.int32)
         sl = jnp.full((B,), S, jnp.int32)
+        logits = jnp.asarray(logits_np)
         c1, _ = f_pal(logits, labels, il, sl, with_grads=False)
-        c2, _ = f_ref(logits, labels, il, sl, with_grads=False)
-        ce = float(jnp.max(jnp.abs(c1 - c2)))
+        c1 = np.asarray(c1)
         del logits
+        _settle()
+        # The pure-XLA oracle crashes the REMOTE COMPILE helper outright at
+        # the full [8,850,300,1024] program (isolated: the compiled Pallas
+        # cost-only path runs fine at this shape; the XLA program is what
+        # dies) — so the oracle runs per half-batch from the host copy.
+        ce = 0.0
+        for lo, hi in ((0, B // 2), (B // 2, B)):
+            c2h, _ = f_ref(jnp.asarray(logits_np[lo:hi]), labels[lo:hi],
+                           il[lo:hi], sl[lo:hi], with_grads=False)
+            ce = max(ce, float(np.max(np.abs(c1[lo:hi] - np.asarray(c2h)))))
+            del c2h
+            _settle()
         assert ce < 2e-3, ce
 
     check("split natural over-cap (8,850,299,1024) cost-only parity",
