@@ -98,7 +98,8 @@ def main(argv=None):
 
     ok = (np.array_equal(np.asarray(sstate["hyp"]), np.asarray(hyp_full))
           and np.array_equal(np.asarray(sstate["n_hyp"]), np.asarray(n_full)))
-    print(f"\nstreamed hypothesis == full-utterance greedy decode: {ok}")
+    print(f"\nstreaming == full-utterance greedy decode: "
+          f"{'exact' if ok else 'MISMATCH'}")
     for b in range(B):
         tgt = [int(x) for x in np.asarray(labels[b][:int(slen[b])])]
         got = [int(x) for x in

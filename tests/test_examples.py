@@ -35,14 +35,22 @@ def test_train_tiny_example(tmp_path):
 
 @pytest.mark.slow
 def test_streaming_demo_example(capfd):
+    import re
+
     import streaming_demo
 
-    rc = streaming_demo.main(["--steps", "3", "--chunk", "16"])
+    # 40 steps: the smallest seeded step count at which the overfit model
+    # deterministically emits labels, so the exactness check below is not
+    # the vacuous [] == [].
+    rc = streaming_demo.main(["--steps", "40", "--chunk", "16"])
     assert rc in (None, 0)
     out = capfd.readouterr().out
     # The demo's contract: the streaming decode must EXACTLY match the
     # full-utterance decode (the exactness claim it exists to show).
-    assert "streaming == full-utterance" in out or "exact" in out.lower()
+    assert "streaming == full-utterance greedy decode: exact" in out
+    # ...and the comparison must be over a non-empty hypothesis.
+    decoded = re.findall(r"-> decoded \[([^\]]*)\]", out)
+    assert any(d.strip() for d in decoded), "demo emitted no labels"
 
 
 @pytest.mark.slow
