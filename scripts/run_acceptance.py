@@ -78,6 +78,7 @@ def main(argv=None):
             "n_failed": len(tpu_acceptance.failures),
         },
         "fuzz": {"cases": args.cases, "seed": args.seed,
+                 "dimensions": fuzz_tpu.DIMENSIONS,
                  "ok": rc_fuzz == 0},
         "ok": rc_acc == 0 and rc_fuzz == 0,
     }

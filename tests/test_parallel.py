@@ -319,3 +319,36 @@ def test_pallas_backend_inside_shard_map_traces():
         loss_fn = make_per_sample_loss(mesh, backend="pallas")
         out = jax.eval_shape(loss_fn, logits, labels, ilen, slen)
     assert out.shape == (8,) and out.dtype == jnp.float32
+
+
+def test_split_pipeline_inside_shard_map_traces():
+    # pipeline='split' forced under shard_map: the split orchestration
+    # (softmax_stats -> lane-packed fwdbwd_scan -> grad_pass) has its own
+    # vma-typed carry inits and padding glue; the vma check fires at trace
+    # time, so eval_shape covers it on the CPU mesh (the compiled execution
+    # of the same config runs in scripts/tpu_acceptance.py on the chip).
+    from monotonic_rnnt_tpu.utils.config import config_override
+
+    logits, labels, ilen, slen = _case(5, batch=8, t=16, s=4, v=64)
+    mesh = make_mesh(data=4, model=1)
+    with config_override(interpret=True, pipeline="split"):
+        loss_fn = make_per_sample_loss(mesh, backend="pallas")
+        out = jax.eval_shape(loss_fn, logits, labels, ilen, slen)
+    assert out.shape == (8,) and out.dtype == jnp.float32
+
+
+def test_bf16_tt2_fused_inside_shard_map_traces():
+    # The bf16 TT=2-tiled DP-fused path under shard_map (round 4's
+    # multi-t-row kernels): tiles must actually select TT=2 on the
+    # per-shard shape, and the trace must pass the vma checks.
+    from monotonic_rnnt_tpu.ops.pallas.kernels import fused_dp_tiles
+    from monotonic_rnnt_tpu.utils.config import config_override
+
+    logits, labels, ilen, slen = _case(6, batch=8, t=32, s=8, v=256)
+    assert fused_dp_tiles(2, 32, 9, 256, jnp.bfloat16)[0] == 2
+    mesh = make_mesh(data=4, model=1)
+    with config_override(interpret=True):
+        loss_fn = make_per_sample_loss(mesh, backend="pallas")
+        out = jax.eval_shape(loss_fn, logits.astype(jnp.bfloat16), labels,
+                             ilen, slen)
+    assert out.shape == (8,) and out.dtype == jnp.float32
