@@ -91,16 +91,19 @@ def main():
     stream_base = (jax.device_put(rng.randn(327680, 1024).astype(np.float32))
                    if on_tpu else None)
 
-    def stream_ceiling_total(dtype, k=8):
-        """Wall time of k UNROLLED dependent Pallas copies (+ nbytes moved).
+    def build_stream_probe(dtype, k=8):
+        """Compile a k-copy UNROLLED Pallas chain; return (trial_fn, bytes).
 
         Unrolled because inside a fori_loop the while-carry forces an extra
         full-tensor copy per iteration (a pallas output cannot alias the
         carry), halving the apparent rate — benchmarks/stream_bench.py
         documents the sweep; vmem_512 was the fastest config (~641 GB/s f32
-        on v5e through axon). The per-dispatch tunnel overhead is removed
-        later using the copy-loop pair's fit (one compile per dtype instead
-        of two).
+        on v5e through axon). trial_fn() runs ONE timed dispatch and
+        returns per-copy seconds; the caller interleaves trials across
+        dtypes and medians them (a per-run single-shot ceiling swings ~4%
+        round-over-round — too noisy to support fraction targets). The
+        per-dispatch tunnel overhead is removed later using the copy-loop
+        pair's fit (one compile per dtype instead of two).
         """
         if not on_tpu:
             return None, 0
@@ -115,22 +118,86 @@ def main():
             return a
 
         loop = jax.jit(chain)
-        _ = np.asarray(loop(xc)[0, :2])
-        # Best-of-5: the first post-compile dispatches occasionally run ~2x
-        # slow (cold axon tunnel / allocator state — observed once at 295
-        # GB/s where steady state is ~670), and best-of filters that.
-        best = float("inf")
-        for _ in range(5):
+        _ = np.asarray(loop(xc)[0, :2])  # compile + first (cold) dispatch
+        _ = np.asarray(loop(xc)[0, :2])  # warm: cold dispatches run ~2x slow
+
+        def trial():
             t0 = time.perf_counter()
             _ = np.asarray(loop(xc)[0, :2])
-            best = min(best, time.perf_counter() - t0)
-        return best / k, 2 * cbytes
+            return (time.perf_counter() - t0) / k
+
+        return trial, 2 * cbytes
 
     # k=24 keeps the shared-overhead estimate (oh/k) small next to the
     # per-copy time; iterations are cheap, compiles are not.
     CEIL_K = 24
-    ceil_f32_t, ceil_bytes = stream_ceiling_total(jnp.float32, CEIL_K)
-    ceil_bf16_t, ceil_bytes16 = stream_ceiling_total(jnp.bfloat16, CEIL_K)
+    CEIL_TRIALS = 5
+    probe_f32, ceil_bytes = build_stream_probe(jnp.float32, CEIL_K)
+    probe_bf16, ceil_bytes16 = build_stream_probe(jnp.bfloat16, CEIL_K)
+    ceil_trials_f32, ceil_trials_bf16 = [], []
+    if on_tpu:
+        # Interleave the dtype probes so slow drift (tunnel/allocator state)
+        # hits both ceilings alike instead of biasing whichever ran second.
+        for _ in range(CEIL_TRIALS):
+            ceil_trials_f32.append(probe_f32())
+            ceil_trials_bf16.append(probe_bf16())
+    ceil_f32_t = float(np.median(ceil_trials_f32)) if on_tpu else None
+    ceil_bf16_t = float(np.median(ceil_trials_bf16)) if on_tpu else None
+
+    def _spread(ts):
+        return ((max(ts) - min(ts)) / float(np.median(ts))) if ts else None
+
+    # Blocked-stream controls (bf16): the DP-fused kernels' exact block
+    # structure with ZERO compute. 'btsv' reads [B, TT, S1, V] blocks of
+    # the [B, T, S1, V] layout — B per-sample-strided runs per grid step,
+    # what the pipeline actually streams. 'tbsv' reads the same block bytes
+    # from a [T, B, S1, V] layout — one contiguous run per grid step, the
+    # layout counter-experiment. If btsv caps near the bf16 pipeline's rate
+    # while tbsv reaches the flat ceiling, the residual bf16 gap is the
+    # layout's DMA-descriptor cost, not the kernels'.
+    BLOCK_K = 8
+    BLOCK_TRIALS = 5
+
+    def build_blocked_probe(layout, k=BLOCK_K):
+        if not on_tpu:
+            return None
+        from monotonic_rnnt_tpu.ops.pallas.stream import (
+            stream_copy_blocked, stream_copy_blocked_tbsv)
+
+        v128 = (V + 127) // 128 * 128
+        shape = ((B, T, S1, v128) if layout == "btsv"
+                 else (T, B, S1, v128))
+        fn = (stream_copy_blocked if layout == "btsv"
+              else stream_copy_blocked_tbsv)
+        xb = jnp.zeros(shape, jnp.bfloat16)
+        cbytes = xb.size * 2
+
+        def chain(a):
+            for _ in range(k):
+                a = fn(a, tt=2)
+            return a
+
+        loop = jax.jit(chain)
+        _ = np.asarray(loop(xb)[0, 0, 0, :2])
+        _ = np.asarray(loop(xb)[0, 0, 0, :2])
+
+        def trial():
+            t0 = time.perf_counter()
+            _ = np.asarray(loop(xb)[0, 0, 0, :2])
+            return (time.perf_counter() - t0) / k
+
+        trial.nbytes = cbytes
+        return trial
+
+    blocked_trials = {"btsv": [], "tbsv": []}
+    blocked_bytes = 0
+    if on_tpu:
+        pb = {lay: build_blocked_probe(lay) for lay in ("btsv", "tbsv")}
+        blocked_bytes = pb["btsv"].nbytes
+        for _ in range(BLOCK_TRIALS):
+            for lay in ("btsv", "tbsv"):
+                blocked_trials[lay].append(pb[lay]())
+        del pb
 
     def cost_body(i, carry):
         x, acc = carry
@@ -196,6 +263,15 @@ def main():
                 if ceil_f32_t else None)
     ceil_bf16 = (ceil_bytes16 / max(ceil_bf16_t - oh / CEIL_K, 1e-9)
                  if ceil_bf16_t else None)
+
+    def _gbps(trials, nb, k):
+        return [round(nb / max(t - oh / k, 1e-9) / 1e9, 1) for t in trials]
+
+    blocked_bf16 = {
+        lay: (2 * blocked_bytes
+              / max(float(np.median(ts)) - oh / BLOCK_K, 1e-9)
+              if ts else None)
+        for lay, ts in blocked_trials.items()}
     # Every clean stream measurement lower-bounds the achievable ceiling, and
     # the corrected f32 elementwise-chain rate (hbm_bw_c, 1r+1w) is one such
     # measurement — floor the f32 ceiling there so a transient-slow Pallas
@@ -258,6 +334,32 @@ def main():
                                       if ceil_f32 else None),
             "copy_ceiling_bf16_GBps": (round(ceil_bf16 / 1e9, 1)
                                        if ceil_bf16 else None),
+            "ceiling_probe": {
+                "method": f"median of {CEIL_TRIALS} interleaved trials "
+                          "per dtype, dispatch-corrected",
+                "trials_f32_GBps": _gbps(ceil_trials_f32, ceil_bytes,
+                                         CEIL_K),
+                "trials_bf16_GBps": _gbps(ceil_trials_bf16, ceil_bytes16,
+                                          CEIL_K),
+                "spread_f32": (round(_spread(ceil_trials_f32), 3)
+                               if ceil_trials_f32 else None),
+                "spread_bf16": (round(_spread(ceil_trials_bf16), 3)
+                                if ceil_trials_bf16 else None),
+            },
+            "blocked_stream_bf16": {
+                "note": "DP-fused block structure, zero compute; btsv = "
+                        "per-sample-strided [B,TT,S1,V] blocks (what the "
+                        "pipeline streams), tbsv = same block bytes "
+                        "contiguous (layout counter-experiment)",
+                "btsv_GBps": (round(blocked_bf16["btsv"] / 1e9, 1)
+                              if blocked_bf16["btsv"] else None),
+                "tbsv_GBps": (round(blocked_bf16["tbsv"] / 1e9, 1)
+                              if blocked_bf16["tbsv"] else None),
+                "trials_btsv_GBps": _gbps(blocked_trials["btsv"],
+                                          2 * blocked_bytes, BLOCK_K),
+                "trials_tbsv_GBps": _gbps(blocked_trials["tbsv"],
+                                          2 * blocked_bytes, BLOCK_K),
+            },
             "dispatch_corrected": {
                 "iter_ms": round(t_loss_c * 1e3, 3),
                 "Mcells_per_s": round(B * T * S1 / t_loss_c / 1e6, 2),
@@ -266,6 +368,10 @@ def main():
                 "bf16_iter_ms": round(t_loss16_c * 1e3, 3),
                 "bf16_roofline_fraction": (round(bf16_roofline, 3)
                                            if bf16_roofline else None),
+                "bf16_fraction_of_blocked_ceiling": (
+                    round((3 * (nbytes // 2) / blocked_bf16["btsv"])
+                          / t_loss16_c, 3)
+                    if blocked_bf16["btsv"] else None),
                 "roofline_fraction_vs_spec": (
                     round((3 * nbytes / hbm_spec) / t_loss_c, 3)
                     if hbm_spec else None),

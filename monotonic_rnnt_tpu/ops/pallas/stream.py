@@ -77,3 +77,62 @@ def stream_copy(x: jnp.ndarray, mode: str = "vmem", block_rows: int = 512,
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(x)
+
+
+def stream_copy_blocked(x: jnp.ndarray, tt: int = 1,
+                        interpret: bool = False) -> jnp.ndarray:
+    """Copy a [B, T, S1, V] tensor with the DP-fused kernels' block shape.
+
+    Grid (T/tt,), block [B, tt, S1, V]: each grid step's slice is B strided
+    runs of tt*S1*V elements (stride = one sample's whole lattice) — the
+    exact DMA descriptor structure stats_alpha_fused / beta_grad_fused
+    stream, with zero compute. Timing this against the flat 2-D
+    stream_copy isolates how much of the pipeline's distance from the
+    stream ceiling is the blocked layout itself (per-sample-strided
+    descriptors) rather than the kernels' compute. A [T, B, S1, V] input
+    (tt leading) makes every grid step one contiguous run — the layout
+    counter-experiment — via stream_copy_blocked_tbsv.
+    """
+    b, t, s1, v = x.shape
+    if t % tt:
+        raise ValueError(f"T {t} not divisible by tt {tt}")
+    spec = pl.BlockSpec((b, tt, s1, v), lambda i: (0, i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _vmem_copy_kernel,
+        grid=(t // tt,),
+        in_specs=[spec],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(x)
+
+
+def stream_copy_blocked_tbsv(x: jnp.ndarray, tt: int = 1,
+                             interpret: bool = False) -> jnp.ndarray:
+    """Copy a [T, B, S1, V] tensor in [tt, B, S1, V] blocks (contiguous).
+
+    Same block bytes per grid step as stream_copy_blocked on the [B, T,
+    S1, V] layout, but the t-major layout makes each step's slice ONE
+    contiguous HBM run — the control proving (or refuting) that the
+    per-sample-strided descriptors are what caps the blocked stream.
+    """
+    t, b, s1, v = x.shape
+    if t % tt:
+        raise ValueError(f"T {t} not divisible by tt {tt}")
+    spec = pl.BlockSpec((tt, b, s1, v), lambda i: (i, 0, 0, 0),
+                        memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _vmem_copy_kernel,
+        grid=(t // tt,),
+        in_specs=[spec],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(x)

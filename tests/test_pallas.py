@@ -305,6 +305,25 @@ def test_stream_copy_modes_exact():
         stream_copy(x, mode="dma", nbuf=3, interpret=True)
 
 
+def test_stream_copy_blocked_exact():
+    # The blocked-layout controls (DP-fused block structure, bench.py's
+    # bf16-gap diagnosis) must also be exact copies.
+    from monotonic_rnnt_tpu.ops.pallas.stream import (
+        stream_copy_blocked, stream_copy_blocked_tbsv)
+
+    rng = np.random.RandomState(4)
+    x = jnp.asarray(rng.randn(3, 8, 5, 128).astype(np.float32))
+    for tt in (1, 2):
+        y = stream_copy_blocked(x, tt=tt, interpret=True)
+        assert np.array_equal(np.asarray(y), np.asarray(x)), tt
+        yt = stream_copy_blocked_tbsv(x.transpose(1, 0, 2, 3), tt=tt,
+                                      interpret=True)
+        assert np.array_equal(np.asarray(yt),
+                              np.asarray(x).transpose(1, 0, 2, 3)), tt
+    with pytest.raises(ValueError):
+        stream_copy_blocked(x, tt=3, interpret=True)
+
+
 @pytest.mark.slow
 def test_pipeline_split_fallback_matches_oracle():
     # Shapes whose resident [B, T, S1] footprint exceeds the DP-fused
