@@ -85,7 +85,7 @@ def main(argv=None):
     ap.add_argument("--only", default=None,
                     help="run only steps whose artifact name contains this")
     ap.add_argument("--skip", default=None)
-    ap.add_argument("--timeout", type=int, default=3600,
+    ap.add_argument("--timeout", type=int, default=5400,
                     help="per-step timeout in seconds")
     args = ap.parse_args(argv)
     seed = args.round if args.seed is None else args.seed

@@ -31,18 +31,41 @@ def main(argv=None):
     import fuzz_tpu
     import tpu_acceptance
 
+    import json as _json
+    import subprocess
+    import tempfile
+
     t0 = time.time()
     # The multi-GB over-cap checks run LAST and in their own processes:
     # they need a clean device heap (usable HBM through the tunnel is
     # ~12-14 GB and the checks peak near 10), and one RESOURCE_EXHAUSTED
     # poisons every later allocation in the process that hit it.
     rc_acc = tpu_acceptance.main(["--skip", "split natural"])
-    rc_fuzz = fuzz_tpu.main(["--cases", str(args.cases),
-                             "--seed", str(args.seed)])
 
-    import json as _json
-    import subprocess
-    import tempfile
+    # The fuzz sweep ALSO runs in its own process: in round 5 a fuzz case
+    # that passes standalone crashed the TPU worker when run in the same
+    # process right after the boundary checks' near-10GB allocations —
+    # heap-pressure-triggered worker faults must not poison (or lose) the
+    # whole artifact.
+    fuzz_error = None
+    fuzz_script = Path(__file__).resolve().parent / "fuzz_tpu.py"
+    with tempfile.NamedTemporaryFile(suffix=".json") as tmp:
+        try:
+            proc = subprocess.run(
+                [sys.executable, "-u", str(fuzz_script),
+                 "--cases", str(args.cases), "--seed", str(args.seed),
+                 "--json-out", tmp.name], timeout=5400)
+            rc_fuzz = proc.returncode
+        except subprocess.TimeoutExpired:
+            rc_fuzz = -9
+        try:
+            fuzz_rec = _json.loads(Path(tmp.name).read_text())
+            if not fuzz_rec.get("ok", False):
+                rc_fuzz = rc_fuzz or 1
+                fuzz_error = fuzz_rec.get("failed_case")
+        except Exception:  # noqa: BLE001 - subprocess died before dump
+            rc_fuzz = rc_fuzz or 1
+            fuzz_error = f"fuzz subprocess died (rc={rc_fuzz}) before json"
 
     script = Path(__file__).resolve().parent / "tpu_acceptance.py"
     for sub in ("split natural over-cap (8,850,299,512)",
@@ -79,7 +102,7 @@ def main(argv=None):
         },
         "fuzz": {"cases": args.cases, "seed": args.seed,
                  "dimensions": fuzz_tpu.DIMENSIONS,
-                 "ok": rc_fuzz == 0},
+                 "ok": rc_fuzz == 0, "error": fuzz_error},
         "ok": rc_acc == 0 and rc_fuzz == 0,
     }
     Path(args.out).write_text(json.dumps(record, indent=1) + "\n")
