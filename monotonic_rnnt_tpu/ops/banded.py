@@ -41,7 +41,7 @@ from ..utils.status import RnntError, Status, validate_loss_inputs
 from .bands import (BandLayout, Bands, band_final_slot, band_lattice_masks,
                     band_virtual_next_rows, compute_band_layout, pack_band)
 from .helpers import (NEG_INF, extend_labels, log_sum_exp, mask_to_additive,
-                      shift_left_s, shift_right_s)
+                      select_label_logits, shift_left_s, shift_right_s)
 from .loss import _resolve_backend
 
 
@@ -82,11 +82,11 @@ def band_stats(logits_band: jnp.ndarray, lab_band: jnp.ndarray,
                blank_id: int) -> BandStats:
     """Fused log-softmax statistics over V on the packed layout (XLA path)."""
     x = logits_band.astype(jnp.float32)
-    v = x.shape[-1]
     denom = -jax.nn.logsumexp(x, axis=-1)
     lp_blank = x[..., blank_id] + denom
-    gathered = jnp.take_along_axis(
-        x, jnp.clip(lab_band, 0, v - 1)[..., None], axis=-1)[..., 0]
+    # select_label_logits, not take_along_axis: the [B, T, W]-indexed
+    # V-gather serializes on TPU and can fault the worker (helpers.py).
+    gathered = select_label_logits(x, lab_band)
     lp_label = jnp.where(lab_band >= 0, gathered + denom, NEG_INF)
     return BandStats(denom=denom, lp_blank=lp_blank, lp_label=lp_label)
 

@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from .banded import BandStats
-from .helpers import NEG_INF
+from .helpers import NEG_INF, select_label_logits
 from .reference import LatticeStats
 
 
@@ -74,9 +74,9 @@ def sharded_lattice_stats(x_local, labels_ext, blank_id, axis_name):
 
     rel = labels_ext - v_offset
     in_shard = (rel >= 0) & (rel < v_local)
-    safe = jnp.clip(rel, 0, v_local - 1)
-    gathered = jnp.take_along_axis(x_local, safe[:, None, :, None],
-                                   axis=-1)[..., 0]
+    # select_label_logits, not take_along_axis (helpers.py: the V-axis
+    # gather can fault the TPU worker); out-of-shard rel ids select 0.
+    gathered = select_label_logits(x_local, rel[:, None, :])
     xl = jax.lax.psum(jnp.where(in_shard[:, None, :], gathered, 0.0),
                       axis_name)
     any_valid = jax.lax.psum(in_shard.astype(jnp.int32), axis_name) > 0

@@ -66,6 +66,27 @@ def mask_to_additive(mask: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(mask, 0.0, NEG_INF).astype(jnp.float32)
 
 
+def select_label_logits(x: jnp.ndarray, lab: jnp.ndarray) -> jnp.ndarray:
+    """x[..., lab[...]] without a gather: compare-select-reduce over V.
+
+    `lab` must broadcast against x's leading axes (e.g. [B, 1, S1] against
+    [B, T, S1, V]); out-of-range ids — the -1 extend_labels sentinel, or a
+    vocab-shard-relative id outside [0, V_local) — select nothing and
+    yield 0.0 (callers mask those slots).
+
+    NOT take_along_axis: a V-axis gather with multi-dim indices both
+    serializes on TPU and — observed on v5e through the axon runtime at
+    e.g. [17, 33, 23, 384] f32 with [17, 1, 23, 1] indices — can CRASH
+    the TPU worker outright (upstream XLA gather codegen fault, found by
+    the round-5 fuzz). The select-reduce is exact (one element survives
+    the predicate, the rest contribute 0.0) and fuses into the softmax
+    pass that already reads x.
+    """
+    v = x.shape[-1]
+    v_idx = jnp.arange(v, dtype=jnp.int32)
+    return jnp.sum(jnp.where(lab[..., None] == v_idx, x, 0.0), axis=-1)
+
+
 def shift_right_s(x: jnp.ndarray, fill: float = NEG_INF) -> jnp.ndarray:
     """Shift along the last (s) axis so out[..., s] = x[..., s-1]; out[..., 0] = fill."""
     pad = jnp.full(x.shape[:-1] + (1,), fill, dtype=x.dtype)

@@ -36,7 +36,7 @@ import jax.numpy as jnp
 from ..utils.debug import emit_loss_debug
 from .bands import Bands, LatticeMasks, default_bands, lattice_masks
 from .helpers import (NEG_INF, extend_labels, log_sum_exp, mask_to_additive,
-                      shift_left_s, shift_right_s)
+                      select_label_logits, shift_left_s, shift_right_s)
 
 
 class LatticeStats(NamedTuple):
@@ -59,10 +59,9 @@ def compute_stats(logits: jnp.ndarray, labels: jnp.ndarray,
     denom = -jax.nn.logsumexp(x, axis=-1)
     lp_blank = x[..., blank_id] + denom
 
-    s1, v = x.shape[2], x.shape[-1]
+    s1 = x.shape[2]
     lab_ext = extend_labels(labels, label_lengths, s1)
-    gathered = jnp.take_along_axis(
-        x, jnp.clip(lab_ext, 0, v - 1)[:, None, :, None], axis=-1)[..., 0]
+    gathered = select_label_logits(x, lab_ext[:, None, :])
     lp_label = jnp.where((lab_ext >= 0)[:, None, :], gathered + denom,
                          NEG_INF)
     return LatticeStats(denom=denom, lp_blank=lp_blank, lp_label=lp_label)
