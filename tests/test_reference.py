@@ -132,3 +132,30 @@ def test_empty_label_sequence():
     np.testing.assert_allclose(np.asarray(costs)[0], -float(jnp.sum(lp)),
                                rtol=1e-5)
     assert np.all(np.isfinite(np.asarray(grads)))
+
+
+def test_select_label_logits_matches_gather():
+    # The gather-free label pick (helpers.select_label_logits) must equal
+    # take_along_axis everywhere a real id is selected, and yield 0.0 for
+    # the -1 sentinel / out-of-range shard-relative ids (callers mask).
+    # It exists because the V-axis gather can crash the TPU worker
+    # (round-5 fuzz find; see helpers.py).
+    import jax.numpy as jnp
+    import numpy as np
+
+    from monotonic_rnnt_tpu.ops.helpers import select_label_logits
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(3, 5, 7, 11).astype(np.float32))
+    lab = rng.randint(0, 11, (3, 7)).astype(np.int32)
+    lab[0, 2] = -1          # extend_labels sentinel
+    lab[1, 4] = 11          # out-of-shard relative id
+    got = np.asarray(select_label_logits(x, jnp.asarray(lab)[:, None, :]))
+    want = np.take_along_axis(np.asarray(x),
+                              np.clip(lab, 0, 10)[:, None, :, None],
+                              axis=-1)[..., 0]
+    valid = (lab >= 0) & (lab < 11)
+    np.testing.assert_array_equal(got[:, :, :][np.broadcast_to(
+        valid[:, None, :], got.shape)], want[np.broadcast_to(
+        valid[:, None, :], want.shape)])
+    assert (got[np.broadcast_to(~valid[:, None, :], got.shape)] == 0.0).all()
