@@ -85,8 +85,11 @@ def main(argv=None):
     ap.add_argument("--only", default=None,
                     help="run only steps whose artifact name contains this")
     ap.add_argument("--skip", default=None)
-    ap.add_argument("--timeout", type=int, default=5400,
-                    help="per-step timeout in seconds")
+    ap.add_argument("--timeout", type=int, default=10800,
+                    help="per-step timeout in seconds (the acceptance step "
+                         "alone runs ~100 min through the tunnel: ~25 "
+                         "compiled checks + 30 fuzz cases + the over-cap "
+                         "subprocesses, compile-dominated)")
     args = ap.parse_args(argv)
     seed = args.round if args.seed is None else args.seed
 
