@@ -111,7 +111,11 @@ def main(argv=None):
     def parity(B, T, S, V, seed=0, atol_c=1e-3, atol_g=5e-4, bands=None,
                ilen=None, slen=None):
         rng = np.random.RandomState(seed)
-        logits = jnp.asarray(rng.randn(B, T, S + 1, V).astype(np.float32))
+        # Logits are generated ON DEVICE: host uploads run ~7 MB/s through
+        # the tunnel (CLAUDE.md), and every check here compares pallas vs
+        # the oracle on the same tensor — the values don't matter.
+        logits = jax.random.normal(jax.random.PRNGKey(seed),
+                                   (B, T, S + 1, V), jnp.float32)
         labels = jnp.asarray(rng.randint(1, V, (B, S)).astype(np.int32))
         il = jnp.asarray(ilen if ilen is not None
                          else rng.randint(S + 1, T + 1, (B,)), jnp.int32)
@@ -156,7 +160,8 @@ def main(argv=None):
             align[b, pos] = labels[b, :slen[b]]
         bands = bands_from_alignment(jnp.asarray(align), jnp.asarray(ilen),
                                      jnp.asarray(slen), 20, 0)
-        logits = jnp.asarray(rng.randn(B, T, S + 1, V).astype(np.float32))
+        logits = jax.random.normal(jax.random.PRNGKey(0),
+                                   (B, T, S + 1, V), jnp.float32)
         c1, g1 = f_pal(logits, jnp.asarray(labels), jnp.asarray(ilen),
                        jnp.asarray(slen), bands=bands)
         c2, g2 = f_ref(logits, jnp.asarray(labels), jnp.asarray(ilen),
@@ -182,7 +187,8 @@ def main(argv=None):
         assert real > (_FUSED_DP_VMEM_CAP * 4) // 5, real  # near-boundary
         assert real <= _FUSED_DP_VMEM_CAP, real
         rng = np.random.RandomState(17)
-        logits = jnp.asarray(rng.randn(B, T, S + 1, V).astype(np.float32))
+        logits = jax.random.normal(jax.random.PRNGKey(17),
+                                   (B, T, S + 1, V), jnp.float32)
         labels = jnp.asarray(rng.randint(1, V, (B, S)).astype(np.int32))
         il = jnp.asarray(np.array([T, T - 100, T, T // 2], np.int32))
         sl = jnp.asarray(np.array([S, S - 7, 0, S // 2], np.int32))
@@ -404,7 +410,8 @@ def main(argv=None):
             rnnt_loss_banded_pallas
 
         rng = np.random.RandomState(seed)
-        logits = jnp.asarray(rng.randn(B, T, S + 1, V).astype(np.float32))
+        logits = jax.random.normal(jax.random.PRNGKey(seed + 100),
+                                   (B, T, S + 1, V), jnp.float32)
         labels = jnp.asarray(rng.randint(1, V, (B, S)).astype(np.int32))
         il = jnp.full((B,), T, jnp.int32)
         sl = jnp.full((B,), S, jnp.int32)
