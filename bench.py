@@ -143,38 +143,43 @@ def main():
             ceil_trials_bf16.append(probe_bf16())
     ceil_f32_t = float(np.median(ceil_trials_f32)) if on_tpu else None
     ceil_bf16_t = float(np.median(ceil_trials_bf16)) if on_tpu else None
+    # Free the flat calibration operands (the probes' closures pin ~2.7 GB
+    # of HBM) before the blocked controls allocate their own ~2.7 GB.
+    probe_f32 = probe_bf16 = stream_base = None
 
     def _spread(ts):
         return ((max(ts) - min(ts)) / float(np.median(ts))) if ts else None
 
-    # Blocked-stream controls (bf16): the DP-fused kernels' exact block
-    # structure with ZERO compute. 'btsv' reads [B, TT, S1, V] blocks of
-    # the [B, T, S1, V] layout — B per-sample-strided runs per grid step,
-    # what the pipeline actually streams. 'tbsv' reads the same block bytes
-    # from a [T, B, S1, V] layout — one contiguous run per grid step, the
-    # layout counter-experiment. If btsv caps near the bf16 pipeline's rate
-    # while tbsv reaches the flat ceiling, the residual bf16 gap is the
+    # Blocked-stream controls: the DP-fused kernels' exact block structure
+    # with ZERO compute, per dtype (f32 streams one-row blocks, bf16
+    # two-row — same tiles the pipeline picks). 'btsv' reads [B, TT, S1, V]
+    # blocks of the [B, T, S1, V] layout — B per-sample-strided runs per
+    # grid step, what the pipeline actually streams. 'tbsv' reads the same
+    # block bytes from a [T, B, S1, V] layout — one contiguous run per grid
+    # step, the layout counter-experiment. If btsv caps near the pipeline's
+    # rate while tbsv reaches the flat ceiling, the residual gap is the
     # layout's DMA-descriptor cost, not the kernels'.
     BLOCK_K = 8
     BLOCK_TRIALS = 5
 
-    def build_blocked_probe(layout, k=BLOCK_K):
+    def build_blocked_probe(layout, dtype, k=BLOCK_K):
         if not on_tpu:
             return None
         from monotonic_rnnt_tpu.ops.pallas.stream import (
             stream_copy_blocked, stream_copy_blocked_tbsv)
 
+        tt = 2 if dtype == jnp.bfloat16 else 1
         v128 = (V + 127) // 128 * 128
         shape = ((B, T, S1, v128) if layout == "btsv"
                  else (T, B, S1, v128))
         fn = (stream_copy_blocked if layout == "btsv"
               else stream_copy_blocked_tbsv)
-        xb = jnp.zeros(shape, jnp.bfloat16)
-        cbytes = xb.size * 2
+        xb = jnp.zeros(shape, dtype)
+        cbytes = xb.size * jnp.dtype(dtype).itemsize
 
         def chain(a):
             for _ in range(k):
-                a = fn(a, tt=2)
+                a = fn(a, tt=tt)
             return a
 
         loop = jax.jit(chain)
@@ -189,14 +194,21 @@ def main():
         trial.nbytes = cbytes
         return trial
 
-    blocked_trials = {"btsv": [], "tbsv": []}
-    blocked_bytes = 0
+    BLOCK_CFGS = [("btsv", jnp.bfloat16), ("tbsv", jnp.bfloat16),
+                  ("btsv", jnp.float32)]
+    blocked_trials = {lay + sfx: []
+                      for lay, dt in BLOCK_CFGS
+                      for sfx in ("" if dt == jnp.bfloat16 else "_f32",)}
+    blocked_nbytes = {}
     if on_tpu:
-        pb = {lay: build_blocked_probe(lay) for lay in ("btsv", "tbsv")}
-        blocked_bytes = pb["btsv"].nbytes
+        pb = {}
+        for lay, dt in BLOCK_CFGS:
+            key = lay + ("" if dt == jnp.bfloat16 else "_f32")
+            pb[key] = build_blocked_probe(lay, dt)
+            blocked_nbytes[key] = pb[key].nbytes
         for _ in range(BLOCK_TRIALS):
-            for lay in ("btsv", "tbsv"):
-                blocked_trials[lay].append(pb[lay]())
+            for key in blocked_trials:
+                blocked_trials[key].append(pb[key]())
         del pb
 
     def cost_body(i, carry):
@@ -267,11 +279,11 @@ def main():
     def _gbps(trials, nb, k):
         return [round(nb / max(t - oh / k, 1e-9) / 1e9, 1) for t in trials]
 
-    blocked_bf16 = {
-        lay: (2 * blocked_bytes
+    blocked_rate = {
+        key: (2 * blocked_nbytes[key]
               / max(float(np.median(ts)) - oh / BLOCK_K, 1e-9)
               if ts else None)
-        for lay, ts in blocked_trials.items()}
+        for key, ts in blocked_trials.items()}
     # Every clean stream measurement lower-bounds the achievable ceiling, and
     # the corrected f32 elementwise-chain rate (hbm_bw_c, 1r+1w) is one such
     # measurement — floor the f32 ceiling there so a transient-slow Pallas
@@ -346,19 +358,19 @@ def main():
                 "spread_bf16": (round(_spread(ceil_trials_bf16), 3)
                                 if ceil_trials_bf16 else None),
             },
-            "blocked_stream_bf16": {
+            "blocked_stream": {
                 "note": "DP-fused block structure, zero compute; btsv = "
                         "per-sample-strided [B,TT,S1,V] blocks (what the "
-                        "pipeline streams), tbsv = same block bytes "
-                        "contiguous (layout counter-experiment)",
-                "btsv_GBps": (round(blocked_bf16["btsv"] / 1e9, 1)
-                              if blocked_bf16["btsv"] else None),
-                "tbsv_GBps": (round(blocked_bf16["tbsv"] / 1e9, 1)
-                              if blocked_bf16["tbsv"] else None),
-                "trials_btsv_GBps": _gbps(blocked_trials["btsv"],
-                                          2 * blocked_bytes, BLOCK_K),
-                "trials_tbsv_GBps": _gbps(blocked_trials["tbsv"],
-                                          2 * blocked_bytes, BLOCK_K),
+                        "pipeline streams; bf16 TT=2, f32 TT=1), tbsv = "
+                        "same block bytes contiguous (layout "
+                        "counter-experiment)",
+                **{f"{key}_GBps": (round(blocked_rate[key] / 1e9, 1)
+                                   if blocked_rate[key] else None)
+                   for key in blocked_trials},
+                **{f"trials_{key}_GBps": _gbps(blocked_trials[key],
+                                               2 * blocked_nbytes.get(
+                                                   key, 0), BLOCK_K)
+                   for key in blocked_trials},
             },
             "dispatch_corrected": {
                 "iter_ms": round(t_loss_c * 1e3, 3),
@@ -369,9 +381,13 @@ def main():
                 "bf16_roofline_fraction": (round(bf16_roofline, 3)
                                            if bf16_roofline else None),
                 "bf16_fraction_of_blocked_ceiling": (
-                    round((3 * (nbytes // 2) / blocked_bf16["btsv"])
+                    round((3 * (nbytes // 2) / blocked_rate["btsv"])
                           / t_loss16_c, 3)
-                    if blocked_bf16["btsv"] else None),
+                    if blocked_rate["btsv"] else None),
+                "f32_fraction_of_blocked_ceiling": (
+                    round((3 * nbytes / blocked_rate["btsv_f32"])
+                          / t_loss_c, 3)
+                    if blocked_rate.get("btsv_f32") else None),
                 "roofline_fraction_vs_spec": (
                     round((3 * nbytes / hbm_spec) / t_loss_c, 3)
                     if hbm_spec else None),
